@@ -1,0 +1,56 @@
+"""flacenc_tpu — a TPU-native FLAC encoder framework.
+
+Re-implements the capabilities of the `flacenc-rs` reference encoder
+(layer map in SURVEY.md) with a batched JAX/XLA compute path and a C++
+host-side bitstream packer. Public API mirrors the reference crate root
+(``/root/reference/src/lib.rs:160-162``): `encode_with_fixed_block_size`
+and `encode_fixed_size_frame`, plus the config/source/component modules.
+"""
+
+from . import component, config, constants, errors, sigen, source
+from .errors import EncodeError, SourceError, Verified, VerifyError, into_verified
+
+__version__ = constants.build_info.CRATE_VERSION
+
+
+def encode_with_fixed_block_size(config, src, block_size, use_tpu=True):
+    """Encode a `Source` into a `component.Stream` (main library entry).
+
+    Dispatches to the batched TPU pipeline when available (the analogue of
+    the reference's par-mode auto dispatch, coding.rs:650-654); falls back
+    to the scalar numpy path otherwise or when `use_tpu=False`.
+    """
+    if use_tpu:
+        from .models import batch_encoder
+
+        return batch_encoder.encode_with_fixed_block_size(config, src, block_size)
+    from .models import reference_encoder
+
+    return reference_encoder.encode_with_fixed_block_size(config, src, block_size)
+
+
+def encode_fixed_size_frame(config, framebuf, frame_number, stream_info):
+    """Encode a single `FrameBuf` into a `component.Frame`."""
+    from .models import reference_encoder
+
+    return reference_encoder.encode_fixed_size_frame(
+        config, framebuf, frame_number, stream_info
+    )
+
+
+__all__ = [
+    "component",
+    "config",
+    "constants",
+    "errors",
+    "sigen",
+    "source",
+    "encode_with_fixed_block_size",
+    "encode_fixed_size_frame",
+    "EncodeError",
+    "SourceError",
+    "Verified",
+    "VerifyError",
+    "into_verified",
+    "__version__",
+]

@@ -1,0 +1,293 @@
+"""FLAC bitstream parser (stream -> component tree).
+
+Mirrors ``/root/reference/src/component/parser.rs`` (feature "decode"):
+parses `fLaC` magic, metadata blocks, and frames with per-frame CRC-16
+verification. Serves as the independent round-trip oracle for the encoder
+(SURVEY.md §4 tier 3) and backs the CLI `decode` subcommand.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..errors import FlacencError
+from ..utils.crc import crc8, crc16
+from .datatype import (
+    BlockSizeSpec,
+    ChannelAssignment,
+    Constant,
+    FixedLpc,
+    Frame,
+    FrameHeader,
+    Lpc,
+    MetadataBlock,
+    QuantizedParameters,
+    Residual,
+    SampleRateSpec,
+    SampleSizeSpec,
+    Stream,
+    StreamInfo,
+    SubFrame,
+    Verbatim,
+)
+
+
+class ParseError(FlacencError):
+    pass
+
+
+class BitReader:
+    """MSB-first bit reader over bytes."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos  # bit position
+
+    def read(self, n: int) -> int:
+        end = self.pos + n
+        if end > len(self.data) * 8:
+            raise ParseError("unexpected end of stream")
+        first_byte = self.pos >> 3
+        last_byte = (end + 7) >> 3
+        chunk = int.from_bytes(self.data[first_byte:last_byte], "big")
+        chunk >>= (last_byte * 8) - end
+        self.pos = end
+        return chunk & ((1 << n) - 1)
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v & (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def byte_pos(self) -> int:
+        assert self.pos % 8 == 0
+        return self.pos >> 3
+
+    def at_end(self) -> bool:
+        return self.pos >= len(self.data) * 8
+
+
+def parse_utf8like(r: BitReader) -> int:
+    head = r.read(8)
+    if head < 0x80:
+        return head
+    n = 0
+    h = head
+    while h & 0x80:
+        n += 1
+        h = (h << 1) & 0xFF
+    n -= 1  # trailing bytes
+    val = head & (0x7F >> n) if n < 6 else 0
+    for _ in range(n):
+        b = r.read(8)
+        if (b & 0xC0) != 0x80:
+            raise ParseError("invalid utf8-like continuation byte")
+        val = (val << 6) | (b & 0x3F)
+    return val
+
+
+def parse_stream_info(data: bytes) -> StreamInfo:
+    r = BitReader(data)
+    min_bs = r.read(16)
+    max_bs = r.read(16)
+    min_fs = r.read(24)
+    max_fs = r.read(24)
+    rate = r.read(20)
+    ch = r.read(3) + 1
+    bps = r.read(5) + 1
+    total = r.read(36)
+    md5 = bytes(r.read(8) for _ in range(16))
+    info = StreamInfo(rate, ch, bps)
+    info.min_block_size = min_bs
+    info.max_block_size = max_bs
+    info.min_frame_size = min_fs
+    info.max_frame_size = max_fs
+    info.total_samples = total
+    info.md5 = md5
+    return info
+
+
+def _parse_block_size(r: BitReader, tag: int) -> int:
+    if tag == 1:
+        return 192
+    if 2 <= tag <= 5:
+        return 576 << (tag - 2)
+    if tag == 6:
+        return r.read(8) + 1
+    if tag == 7:
+        return r.read(16) + 1
+    if 8 <= tag <= 15:
+        return 256 << (tag - 8)
+    raise ParseError(f"reserved block size tag {tag}")
+
+
+def _parse_sample_rate(r: BitReader, tag: int, default: Optional[int]) -> Optional[int]:
+    if tag == 0:
+        return default
+    if tag == 12:
+        return r.read(8) * 1000
+    if tag == 13:
+        return r.read(16)
+    if tag == 14:
+        return r.read(16) * 10
+    if tag == 15:
+        raise ParseError("invalid sample rate tag 15")
+    return SampleRateSpec._TAG_TO_FREQ[tag]
+
+
+def parse_frame_header(r: BitReader) -> Tuple[FrameHeader, int]:
+    """Returns (header, block_size); `r` must be byte-aligned at frame start."""
+    start = r.byte_pos()
+    sync = r.read(14)
+    if sync != 0x3FFE:
+        raise ParseError(f"bad sync code {sync:#x}")
+    r.read(1)  # reserved
+    variable = r.read(1) == 1
+    bs_tag = r.read(4)
+    sr_tag = r.read(4)
+    ch_tag = r.read(4)
+    ss_tag = r.read(3)
+    r.read(1)  # reserved
+    number = parse_utf8like(r)
+    block_size = _parse_block_size(r, bs_tag)
+    sample_rate = _parse_sample_rate(r, sr_tag, None)
+    header_end = (r.pos + 7) >> 3
+    expected_crc = r.read(8)
+    actual = crc8(r.data[start : header_end])
+    if actual != expected_crc:
+        raise ParseError(f"frame header CRC-8 mismatch ({actual} != {expected_crc})")
+    ch_info = ChannelAssignment.from_tag(ch_tag)
+    if ch_info is None:
+        raise ParseError(f"bad channel assignment tag {ch_tag}")
+    header = FrameHeader(
+        BlockSizeSpec.from_size(block_size),
+        ch_info,
+        SampleSizeSpec(ss_tag),
+        SampleRateSpec.from_freq(sample_rate) if sample_rate else SampleRateSpec.UNSPECIFIED,
+    )
+    if variable:
+        header.set_start_sample_number(number)
+    else:
+        header.set_frame_number(number)
+    return header, block_size
+
+
+def parse_residual(r: BitReader, block_size: int, warmup: int) -> Residual:
+    method = r.read(2)
+    if method > 1:
+        raise ParseError(f"unsupported residual method {method}")
+    param_bits = 5 if method == 1 else 4
+    order = r.read(4)
+    nparts = 1 << order
+    part_len = block_size >> order
+    if part_len << order != block_size or part_len <= 0:
+        raise ParseError("invalid partition order for block size")
+    rice_params = np.zeros(nparts, dtype=np.uint8)
+    quotients = np.zeros(block_size, dtype=np.uint32)
+    remainders = np.zeros(block_size, dtype=np.uint32)
+    offset = 0
+    for p in range(nparts):
+        rice_p = r.read(param_bits)
+        if rice_p == (1 << param_bits) - 1:
+            raise ParseError("verbatim rice partitions are not supported")
+        rice_params[p] = rice_p
+        start = max(warmup, offset)
+        offset += part_len
+        for t in range(start, offset):
+            quotients[t] = r.read_unary()
+            remainders[t] = r.read(rice_p) if rice_p else 0
+    return Residual(order, block_size, warmup, rice_params, quotients, remainders)
+
+
+def parse_subframe(r: BitReader, block_size: int, bps: int) -> SubFrame:
+    if r.read(1) != 0:
+        raise ParseError("subframe header must start with 0")
+    type_tag = r.read(6)
+    wasted_flag = r.read(1)
+    if wasted_flag:
+        raise ParseError("wasted bits are not supported")
+    if type_tag == 0:
+        return Constant(block_size, r.read_signed(bps), bps)
+    if type_tag == 1:
+        samples = np.asarray([r.read_signed(bps) for _ in range(block_size)], np.int32)
+        return Verbatim(samples, bps)
+    if (type_tag & 0x38) == 0x08 and (type_tag & 0x07) <= 4:
+        order = type_tag & 0x07
+        warm_up = np.asarray([r.read_signed(bps) for _ in range(order)], np.int32)
+        residual = parse_residual(r, block_size, order)
+        return FixedLpc(warm_up, residual, bps)
+    if type_tag & 0x20:
+        order = (type_tag & 0x1F) + 1
+        warm_up = np.asarray([r.read_signed(bps) for _ in range(order)], np.int32)
+        precision = r.read(4) + 1
+        shift = r.read_signed(5)
+        coefs = np.asarray(
+            [r.read_signed(precision) for _ in range(order)], np.int16
+        )
+        residual = parse_residual(r, block_size, order)
+        return Lpc(warm_up, QuantizedParameters(coefs, order, shift, precision), residual, bps)
+    raise ParseError(f"reserved subframe type {type_tag:#x}")
+
+
+def parse_frame(
+    r: BitReader, stream_info: StreamInfo, verify_crc: bool = True
+) -> Frame:
+    frame_start = r.byte_pos()
+    header, block_size = parse_frame_header(r)
+    nch = (
+        header.channel_assignment.channels
+        if header.channel_assignment.kind == ChannelAssignment.INDEPENDENT
+        else 2
+    )
+    base_bps = header.sample_size_spec.into_bits() or stream_info.bits_per_sample
+    subframes = []
+    for ch in range(nch):
+        bps = base_bps + header.channel_assignment.bits_per_sample_offset(ch)
+        subframes.append(parse_subframe(r, block_size, bps))
+    r.align()
+    body_end = r.byte_pos()
+    expected = r.read(16)
+    if verify_crc:
+        actual = crc16(r.data[frame_start:body_end])
+        if actual != expected:
+            raise ParseError(f"frame CRC-16 mismatch ({actual} != {expected})")
+    return Frame(header, subframes)
+
+
+def parse_stream(data: bytes, verify_crc: bool = True) -> Stream:
+    """parser.rs:49-87."""
+    if data[:4] != b"fLaC":
+        raise ParseError("missing fLaC magic")
+    r = BitReader(data, 32)
+    stream = None
+    is_last = False
+    while not is_last:
+        header_byte = r.read(8)
+        is_last = bool(header_byte & 0x80)
+        typetag = header_byte & 0x7F
+        length = r.read(24)
+        body = bytes(r.read(8) for _ in range(length))
+        if typetag == 0:
+            info = parse_stream_info(body)
+            stream = Stream(info.sample_rate, info.channels, info.bits_per_sample)
+            stream.stream_info_ = info
+        elif stream is not None:
+            stream.metadata_.append(MetadataBlock(is_last, typetag, body))
+    if stream is None:
+        raise ParseError("missing STREAMINFO block")
+    while not r.at_end():
+        frame = parse_frame(r, stream.stream_info(), verify_crc)
+        stream.frames_.append(frame)
+    return stream

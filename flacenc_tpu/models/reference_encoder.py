@@ -1,0 +1,300 @@
+"""Scalar (numpy) frame encoder — the semantics oracle.
+
+Mirrors the controller logic of ``/root/reference/src/coding.rs`` exactly:
+subframe candidate generation (Constant/Fixed/LPC/Verbatim), order selection
+(BitCount or ApproxEnt), Rice parameter search, and the four-way stereo-mode
+search. Used as the parity oracle for the batched device encoder and as the
+encode path for tail blocks.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from .. import config as config_mod
+from .. import constants
+from ..component.datatype import (
+    BlockSizeSpec,
+    ChannelAssignment,
+    Constant,
+    FixedLpc,
+    Frame,
+    FrameHeader,
+    Lpc,
+    QuantizedParameters,
+    Residual,
+    SampleRateSpec,
+    SampleSizeSpec,
+    Stream,
+    SubFrame,
+    Verbatim,
+)
+from ..errors import EncodeError, RangeError, Verified
+from ..ops import ref_np
+from ..source import Context, FrameBuf, Source
+
+
+def encode_residual_with_prc_parameter(
+    errors: np.ndarray, warmup_length: int, prc_p: ref_np.PrcParameter
+) -> Residual:
+    """coding.rs:140-170."""
+    q, r = ref_np.quotients_and_remainders(errors, prc_p, warmup_length)
+    return Residual(
+        prc_p.order, len(errors), warmup_length, prc_p.ps, q, r
+    )
+
+
+def encode_residual(
+    prc_config: config_mod.Prc, errors: np.ndarray, warmup_length: int
+) -> Residual:
+    """coding.rs:173-176."""
+    prc_p = ref_np.find_partitioned_rice_parameter(
+        errors, warmup_length, prc_config.max_parameter
+    )
+    return encode_residual_with_prc_parameter(errors, warmup_length, prc_p)
+
+
+def select_order_and_encode_residual(
+    order_sel: config_mod.OrderSel,
+    prc_config: config_mod.Prc,
+    errors: Iterable[Tuple[int, np.ndarray]],
+    bits_per_sample: int,
+    baseline_bits: int,
+) -> Optional[Tuple[int, Residual]]:
+    """coding.rs:230-288. Ties prefer the lowest order (first minimum)."""
+    max_rice_p = prc_config.max_parameter
+    if order_sel.type == "BitCount":
+        best = None
+        for order, err in errors:
+            prc_p = ref_np.find_partitioned_rice_parameter(err, order, max_rice_p)
+            bits = bits_per_sample * order + prc_p.code_bits
+            if best is None or bits < best[3]:
+                best = (order, err, prc_p, bits)
+        if best is None or best[3] >= baseline_bits:
+            return None
+        order, err, prc_p, _ = best
+        return order, encode_residual_with_prc_parameter(err, order, prc_p)
+    else:  # ApproxEnt
+        best = None
+        for order, err in errors:
+            bits = (
+                ref_np.estimate_entropy(err, order, order_sel.partitions)
+                + bits_per_sample * order
+            )
+            if best is None or bits < best[2]:
+                best = (order, err, bits)
+        if best is None or best[2] >= baseline_bits:
+            return None
+        order, err, _ = best
+        return order, encode_residual(prc_config, err, order)
+
+
+def fixed_lpc(
+    cfg: config_mod.SubFrameCoding,
+    signal: np.ndarray,
+    bits_per_sample: int,
+    baseline_bits: int,
+) -> Optional[FixedLpc]:
+    """coding.rs:298-331."""
+    assert bits_per_sample < 30
+    max_order = cfg.fixed.max_order
+    errors = ref_np.fixed_lpc_errors(signal, constants.fixed.MAX_LPC_ORDER)
+    sel = select_order_and_encode_residual(
+        cfg.fixed.order_sel,
+        cfg.prc,
+        list(enumerate(errors[: max_order + 1])),
+        bits_per_sample,
+        baseline_bits,
+    )
+    if sel is None:
+        return None
+    order, residual = sel
+    return FixedLpc(signal[:order], residual, bits_per_sample)
+
+
+def estimated_qlpc(
+    cfg: config_mod.SubFrameCoding, signal: np.ndarray, bits_per_sample: int
+) -> Lpc:
+    """coding.rs:360-381."""
+    lpc_order = cfg.qlpc.lpc_order
+    coefs = ref_np.lpc_from_autocorr(signal, cfg.qlpc.window, lpc_order)
+    qcoefs, order, shift = ref_np.quantize_parameters(
+        coefs[:lpc_order], cfg.qlpc.quant_precision
+    )
+    errors = ref_np.compute_error(qcoefs, shift, signal)
+    residual = encode_residual(cfg.prc, errors, order)
+    params = QuantizedParameters(qcoefs, order, shift, cfg.qlpc.quant_precision)
+    return Lpc(signal[:order], params, residual, bits_per_sample)
+
+
+def encode_subframe(
+    cfg: config_mod.SubFrameCoding, samples: np.ndarray, bits_per_sample: int
+) -> SubFrame:
+    """Candidate generation + selection (coding.rs:384-418)."""
+    if cfg.use_constant and bool((samples == samples[0]).all()):
+        return Constant(len(samples), int(samples[0]), bits_per_sample)
+    verbatim_bits = Verbatim.count_bits_from_metadata(len(samples), bits_per_sample)
+    too_short = len(samples) < constants.MIN_BLOCK_SIZE_FOR_PREDICTION
+    fixed = (
+        fixed_lpc(cfg, samples, bits_per_sample, verbatim_bits)
+        if (not too_short and cfg.use_fixed)
+        else None
+    )
+    baseline_bits = (
+        min(verbatim_bits, fixed.count_bits()) if fixed is not None else verbatim_bits
+    )
+    est_lpc = None
+    if not too_short and cfg.use_lpc:
+        candidate = estimated_qlpc(cfg, samples, bits_per_sample)
+        if candidate.count_bits() < baseline_bits:
+            est_lpc = candidate
+    chosen = est_lpc if est_lpc is not None else fixed
+    if chosen is not None and chosen.count_bits() < verbatim_bits:
+        return chosen
+    return Verbatim(samples, bits_per_sample)
+
+
+def _new_frame_header(
+    block_size: int, ch_info: ChannelAssignment, stream_sample_rate: int, bps: int
+) -> FrameHeader:
+    rate_spec = SampleRateSpec.from_freq(stream_sample_rate)
+    return FrameHeader(
+        BlockSizeSpec.from_size(block_size),
+        ch_info,
+        SampleSizeSpec.from_bits(bps),
+        rate_spec if rate_spec is not None else SampleRateSpec.UNSPECIFIED,
+    )
+
+
+def encode_frame_impl(
+    config: config_mod.Encoder,
+    channels: List[np.ndarray],
+    sample_rate: int,
+    bits_per_sample: int,
+    ch_info: ChannelAssignment,
+) -> Frame:
+    """coding.rs:421-449 (channels are already stereo-transformed)."""
+    block_size = len(channels[0])
+    header = _new_frame_header(block_size, ch_info, sample_rate, bits_per_sample)
+    subframes = []
+    for ch, sig in enumerate(channels):
+        subframes.append(
+            encode_subframe(
+                config.subframe_coding,
+                sig,
+                bits_per_sample + ch_info.bits_per_sample_offset(ch),
+            )
+        )
+    return Frame(header, subframes)
+
+
+def try_stereo_coding(
+    config: config_mod.Encoder,
+    channels: List[np.ndarray],
+    indep: Frame,
+    sample_rate: int,
+    bits_per_sample: int,
+) -> Frame:
+    """Four-way L/R vs L/S vs S/R vs M/S search (coding.rs:469-527)."""
+    l, r = channels[0].astype(np.int32), channels[1].astype(np.int32)
+    mid = ((l.astype(np.int64) + r.astype(np.int64)) >> 1).astype(np.int32)
+    side = (l.astype(np.int64) - r.astype(np.int64)).astype(np.int32)
+    ms_frame = encode_frame_impl(
+        config, [mid, side], sample_rate, bits_per_sample, ChannelAssignment.mid_side()
+    )
+    bits_l = indep.subframe(0).count_bits()
+    bits_r = indep.subframe(1).count_bits()
+    bits_m = ms_frame.subframe(0).count_bits()
+    bits_s = ms_frame.subframe(1).count_bits()
+
+    combinations = []
+    if config.stereo_coding.use_leftside:
+        combinations.append((ChannelAssignment.left_side(), bits_l + bits_s))
+    if config.stereo_coding.use_rightside:
+        combinations.append((ChannelAssignment.right_side(), bits_r + bits_s))
+    if config.stereo_coding.use_midside:
+        combinations.append((ChannelAssignment.mid_side(), bits_m + bits_s))
+
+    min_bits = bits_l + bits_r
+    min_ch_info = ChannelAssignment.independent(2)
+    for ch_info, bits in combinations:
+        if bits < min_bits:
+            min_bits = bits
+            min_ch_info = ch_info
+
+    header = _new_frame_header(
+        len(l), min_ch_info, sample_rate, bits_per_sample
+    )
+    _, sf_l, sf_r = indep.into_stereo_channels()
+    _, sf_m, sf_s = ms_frame.into_stereo_channels()
+    chans = min_ch_info.select_channels(sf_l, sf_r, sf_m, sf_s)
+    return Frame(header, [chans[0], chans[1]])
+
+
+def encode_frame(
+    config: config_mod.Encoder,
+    framebuf: FrameBuf,
+    sample_rate: int,
+    bits_per_sample: int,
+) -> Frame:
+    """coding.rs:530-544."""
+    nchannels = framebuf.channels
+    channels = [framebuf.channel_slice(ch) for ch in range(nchannels)]
+    ch_info = ChannelAssignment.independent(nchannels)
+    ret = encode_frame_impl(config, channels, sample_rate, bits_per_sample, ch_info)
+    if nchannels == 2:
+        ret = try_stereo_coding(config, channels, ret, sample_rate, bits_per_sample)
+    return ret
+
+
+def encode_fixed_size_frame(
+    config: Verified[config_mod.Encoder] | config_mod.Encoder,
+    framebuf: FrameBuf,
+    frame_number: int,
+    stream_info,
+) -> Frame:
+    """Public per-frame entry point (coding.rs:581-606)."""
+    cfg = config.inner if isinstance(config, Verified) else config
+    if not (0 <= frame_number < (1 << 31)):
+        raise RangeError("frame_number", "must fit in 31 bits", frame_number)
+    framebuf.verify_samples(stream_info.bits_per_sample)
+    frame = encode_frame(
+        cfg, framebuf, stream_info.sample_rate, stream_info.bits_per_sample
+    )
+    frame.header_mut().set_frame_number(frame_number)
+    return frame
+
+
+def encode_with_fixed_block_size(
+    config: Verified[config_mod.Encoder] | config_mod.Encoder,
+    src: Source,
+    block_size: int,
+) -> Stream:
+    """Single-block-at-a-time stream encoder (coding.rs:645-695).
+
+    This is the oracle path; `flacenc_tpu.encode_with_fixed_block_size`
+    dispatches to the batched TPU pipeline by default.
+    """
+    cfg = config.inner if isinstance(config, Verified) else config
+    stream = Stream(src.sample_rate(), src.channels(), src.bits_per_sample())
+    framebuf = FrameBuf(src.channels(), block_size)
+    context = Context(src.bits_per_sample(), src.channels())
+    while True:
+        read = src.read_samples(block_size, (framebuf, context))
+        if read == 0:
+            break
+        frame = encode_fixed_size_frame(
+            cfg, framebuf, context.current_frame_number(), stream.stream_info()
+        )
+        stream.add_frame(frame)
+    if stream.frame_count() > 0:
+        mx = stream.stream_info().max_block_size
+        stream.stream_info_mut().set_block_sizes(mx, mx)
+    stream.stream_info_mut().set_md5_digest(context.md5_digest())
+    total = src.len_hint()
+    stream.stream_info_mut().set_total_samples(
+        total if total is not None else context.total_samples()
+    )
+    return stream

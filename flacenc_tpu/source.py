@@ -1,0 +1,198 @@
+"""Input-source abstraction: Source, FrameBuf, MD5 Context.
+
+Mirrors ``/root/reference/src/source.rs``. The MD5 context hashes the
+little-endian PCM byte stream (``bytes_per_sample`` bytes per sample,
+channel-interleaved), exactly like the reference's ``Context``
+(source.rs:301-442). Byte conversion is vectorized with numpy; hashing uses
+hashlib (C speed, releases the GIL so it overlaps device compute).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .errors import SourceError, VerifyError
+
+
+def samples_to_le_bytes(interleaved: np.ndarray, bytes_per_sample: int) -> bytes:
+    """int32 samples -> little-endian packed bytes (1-4 bytes/sample)."""
+    a = np.ascontiguousarray(interleaved, dtype="<i4")
+    if bytes_per_sample == 4:
+        return a.tobytes()
+    b = a.view(np.uint8).reshape(-1, 4)
+    return np.ascontiguousarray(b[:, :bytes_per_sample]).tobytes()
+
+
+def le_bytes_to_samples(data: bytes, bytes_per_sample: int) -> np.ndarray:
+    """Little-endian PCM bytes -> int32 samples (sign-extended).
+
+    Matches ``arrayutils::le_bytes_to_i32s`` (arrayutils.rs:273-364).
+    """
+    if bytes_per_sample == 2:
+        return np.frombuffer(data, dtype="<i2").astype(np.int32)
+    if bytes_per_sample == 1:
+        return np.frombuffer(data, dtype=np.int8).astype(np.int32)
+    if bytes_per_sample == 4:
+        return np.frombuffer(data, dtype="<i4").astype(np.int32)
+    if bytes_per_sample == 3:
+        raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        v = (
+            raw[:, 0].astype(np.uint32)
+            | (raw[:, 1].astype(np.uint32) << 8)
+            | (raw[:, 2].astype(np.uint32) << 16)
+        )
+        v = v.astype(np.int32)
+        return (v << 8) >> 8  # sign-extend from bit 23
+    raise SourceError(SourceError.UNSUPPORTED_FORMAT)
+
+
+class Context:
+    """Streaming MD5 + sample/frame counters (source.rs:301-442)."""
+
+    def __init__(self, bits_per_sample: int, channels: int) -> None:
+        bytes_per_sample = -(-bits_per_sample // 8)
+        assert bytes_per_sample <= 4, "bits_per_sample cannot be larger than 32."
+        self._md5 = hashlib.md5()
+        self.bytes_per_sample = bytes_per_sample
+        self.channels = channels
+        self.sample_count = 0
+        self.frame_count = 0
+
+    def current_frame_number(self) -> Optional[int]:
+        return self.frame_count - 1 if self.frame_count > 0 else None
+
+    def md5_digest(self) -> bytes:
+        return self._md5.copy().digest()
+
+    def total_samples(self) -> int:
+        return self.sample_count
+
+    def fill_interleaved(self, interleaved: np.ndarray) -> None:
+        if len(interleaved) == 0:
+            return
+        self._md5.update(samples_to_le_bytes(interleaved, self.bytes_per_sample))
+        self.sample_count += len(interleaved) // self.channels
+        self.frame_count += 1
+
+    def fill_le_bytes(self, data: bytes, bytes_per_sample: int) -> None:
+        if not data:
+            return
+        self._md5.update(data)
+        self.sample_count += len(data) // self.channels // bytes_per_sample
+        self.frame_count += 1
+
+
+class FrameBuf:
+    """Channel-major reusable block buffer (source.rs:115-298)."""
+
+    def __init__(self, channels: int, block_size: int) -> None:
+        if block_size == 0:
+            raise VerifyError("block_size", "must be nonzero")
+        self.channels = channels
+        self.block_size = block_size
+        self.samples = np.zeros((channels, block_size), dtype=np.int32)
+        self.filled = 0
+
+    def size(self) -> int:
+        return self.block_size
+
+    def filled_size(self) -> int:
+        return self.filled
+
+    def channel_slice(self, ch: int) -> np.ndarray:
+        return self.samples[ch, : self.filled]
+
+    def fill_interleaved(self, interleaved: np.ndarray) -> None:
+        interleaved = np.asarray(interleaved, dtype=np.int32)
+        n = len(interleaved) // self.channels
+        if n > self.block_size:
+            raise SourceError(SourceError.INVALID_BUFFER)
+        self.samples[:, :n] = interleaved[: n * self.channels].reshape(
+            n, self.channels
+        ).T
+        if n < self.block_size:
+            self.samples[:, n:] = 0
+        self.filled = n
+
+    def verify_samples(self, bits_per_sample: int) -> None:
+        """Range-check samples against bps (source.rs:262-277)."""
+        lo = -(1 << (bits_per_sample - 1))
+        hi = (1 << (bits_per_sample - 1)) - 1
+        s = self.samples[:, : self.filled]
+        if s.size and (int(s.min()) < lo or int(s.max()) > hi):
+            raise VerifyError(
+                "framebuf.samples", f"must be in range of {bits_per_sample}-bit signed ints"
+            )
+
+
+class Source:
+    """Abstract PCM input (source.rs:445-493)."""
+
+    def channels(self) -> int:
+        raise NotImplementedError
+
+    def bits_per_sample(self) -> int:
+        raise NotImplementedError
+
+    def sample_rate(self) -> int:
+        raise NotImplementedError
+
+    def read_samples(self, block_size: int, dest: Tuple[FrameBuf, Context]) -> int:
+        """Fill `dest` with up to `block_size` samples; returns count read."""
+        raise NotImplementedError
+
+    def len_hint(self) -> Optional[int]:
+        return None
+
+
+class MemSource(Source):
+    """In-memory interleaved source (source.rs:543-639)."""
+
+    def __init__(
+        self,
+        samples: np.ndarray,
+        channels: int,
+        bits_per_sample: int,
+        sample_rate: int,
+    ) -> None:
+        self._samples = np.asarray(samples, dtype=np.int32)
+        self._channels = channels
+        self._bits_per_sample = bits_per_sample
+        self._sample_rate = sample_rate
+        self._offset = 0  # in inter-channel samples
+
+    @staticmethod
+    def from_samples(samples, channels, bits_per_sample, sample_rate) -> "MemSource":
+        return MemSource(np.asarray(samples), channels, bits_per_sample, sample_rate)
+
+    def channels(self) -> int:
+        return self._channels
+
+    def bits_per_sample(self) -> int:
+        return self._bits_per_sample
+
+    def sample_rate(self) -> int:
+        return self._sample_rate
+
+    def len_hint(self) -> Optional[int]:
+        return len(self._samples) // self._channels
+
+    def read_samples(self, block_size: int, dest: Tuple[FrameBuf, Context]) -> int:
+        framebuf, context = dest if isinstance(dest, tuple) else (dest, None)
+        begin = self._offset * self._channels
+        end = min(begin + block_size * self._channels, len(self._samples))
+        chunk = self._samples[begin:end]
+        if len(chunk) == 0:
+            return 0
+        framebuf.fill_interleaved(chunk)
+        if context is not None:
+            context.fill_interleaved(chunk)
+        n = len(chunk) // self._channels
+        self._offset += n
+        return n
+
+    def interleaved(self) -> np.ndarray:
+        return self._samples

@@ -1,0 +1,18 @@
+"""Test configuration.
+
+Device tests run on a virtual 8-device CPU mesh so the full multi-chip
+sharding path is exercised without TPU hardware; f64 is enabled to match
+the encoder's autocorrelation/Levinson precision.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
