@@ -1,0 +1,461 @@
+"""Batched TPU frame encoder — the flagship pipeline.
+
+Where the reference encodes one frame per thread (``src/par.rs``), this
+model encodes a whole batch of blocks as `(B, C, T)` tensors in ONE jitted
+device program: every candidate predictor (constant / fixed orders 0-4 /
+QLPC) is evaluated for every block, channel, and stereo mode at once, and
+selection is a set of exact integer bit-cost argmins reproducing the
+reference's decision procedure (``src/coding.rs:384-527``) including
+tie-breaking. The host receives chosen parameters + residuals and performs
+the bit-serial packing (Python oracle path here; C++ packer on the fast
+path).
+
+Stereo candidates are indexed L=0, R=1, M=2, S=3; assignment codes are
+0=LR, 1=LS, 2=RS, 3=MS (selection order matches coding.rs:500-522).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+from .. import config as config_mod
+from .. import constants
+from ..component.datatype import (
+    ChannelAssignment,
+    Constant,
+    FixedLpc,
+    Frame,
+    Lpc,
+    QuantizedParameters,
+    Residual,
+    SubFrame,
+    Verbatim,
+)
+from ..errors import Verified
+from ..ops import jax_env  # noqa: F401
+from ..ops import fixed as ops_fixed
+from ..ops import lpc as ops_lpc
+from ..ops import rice as ops_rice
+from ..ops.windows import get_window
+from ..source import Context, FrameBuf, Source
+from . import reference_encoder
+
+import jax
+import jax.numpy as jnp
+
+# subframe type codes shared with the host packer
+T_CONSTANT, T_VERBATIM, T_FIXED, T_LPC = 0, 1, 2, 3
+
+# stereo candidate indices and assignment tables
+_L, _R, _M, _S = 0, 1, 2, 3
+_SLOT0 = np.array([_L, _L, _S, _M], dtype=np.int32)  # per assignment code
+_SLOT1 = np.array([_R, _S, _R, _S], dtype=np.int32)
+_ASSIGN_TAGS = np.array([1, 8, 9, 10], dtype=np.int32)  # FLAC header tags
+
+
+class DeviceEncoded(NamedTuple):
+    """Per-(block, stored-channel) encoding decisions from the device."""
+
+    assign: jnp.ndarray        # (B,) int32 assignment code (stereo) or 0
+    sf_type: jnp.ndarray       # (B, C) int32 subframe type code
+    order: jnp.ndarray         # (B, C) int32 predictor order
+    qcoefs: jnp.ndarray        # (B, C, MAX_LPC_ORDER) int32
+    shift: jnp.ndarray         # (B, C) int32
+    rice_order: jnp.ndarray    # (B, C) int32 partition order
+    rice_params: jnp.ndarray   # (B, C, max_parts) int32
+    errors: jnp.ndarray        # (B, C, T) int32 chosen-predictor residual
+    signal: jnp.ndarray        # (B, C, T) int32 stored channel signal
+    sf_bits: jnp.ndarray       # (B, C) int64 exact subframe bit counts
+
+
+def _subframe_candidates(cfg, sig, bps_k, block_size, window):
+    """Evaluate all predictor candidates for candidate channels.
+
+    sig: (B, K, T) int32; bps_k: (K,) static bits-per-sample per candidate.
+    Returns per-(B,K) selection arrays (see body).
+    """
+    sub = cfg.subframe_coding
+    B, K, T = sig.shape
+    bps_v = jnp.asarray(bps_k, dtype=jnp.int64)[None, :]  # (1, K)
+    max_p = sub.prc.max_parameter
+    too_short = T < constants.MIN_BLOCK_SIZE_FOR_PREDICTION
+
+    is_const = jnp.all(sig == sig[..., :1], axis=-1)  # (B, K)
+    verbatim_bits = 8 + T * bps_v  # (1, K) i64
+
+    finest = ops_rice.finest_partition_order(T, constants.rice.MIN_PARTITION_SIZE)
+    max_parts = 1 << finest
+
+    zero_i = jnp.zeros((B, K), jnp.int32)
+    zero_b = jnp.zeros((B, K), bool)
+    zero_parts = jnp.zeros((B, K, max_parts), jnp.int32)
+    big = jnp.int64(1) << 62
+
+    # ---- fixed LPC (coding.rs:298-331) ----
+    if sub.use_fixed and not too_short:
+        errs = ops_fixed.fixed_lpc_errors(sig)  # (B, K, 5, T)
+        n_orders = sub.fixed.max_order + 1
+        order_sel = sub.fixed.order_sel
+        if order_sel.type == "ApproxEnt":
+            ests = []
+            for o in range(n_orders):
+                w = jnp.full((B, K), o, jnp.int32)
+                est = ops_fixed.estimate_entropy(
+                    errs[:, :, o, :], w, order_sel.partitions, T
+                )
+                ests.append(est + bps_v * o)
+            est_bits = jnp.stack(ests, axis=-1)  # (B, K, n_orders)
+            fx_order = jnp.argmin(est_bits, axis=-1).astype(jnp.int32)  # low order wins ties
+            fx_est = jnp.min(est_bits, axis=-1)
+            fx_err = jnp.take_along_axis(
+                errs, fx_order[..., None, None], axis=2
+            )[:, :, 0, :]
+            fx_rice = ops_rice.find_partitioned_rice_parameters(
+                fx_err, fx_order, T, max_p
+            )
+        else:  # BitCount
+            per_order = [
+                ops_rice.find_partitioned_rice_parameters(
+                    errs[:, :, o, :], jnp.full((B, K), o, jnp.int32), T, max_p
+                )
+                for o in range(n_orders)
+            ]
+            bits_o = jnp.stack(
+                [bps_v * o + r.code_bits for o, r in enumerate(per_order)], axis=-1
+            )
+            fx_order = jnp.argmin(bits_o, axis=-1).astype(jnp.int32)
+            fx_est = jnp.min(bits_o, axis=-1)
+            fx_err = jnp.take_along_axis(errs, fx_order[..., None, None], 2)[:, :, 0, :]
+
+            def sel(field):
+                stacked = jnp.stack([getattr(r, field) for r in per_order], axis=-1)
+                return jnp.take_along_axis(stacked, fx_order[..., None], -1)[..., 0]
+
+            params_sel = jnp.take_along_axis(
+                jnp.stack([r.params for r in per_order], axis=2),
+                fx_order[..., None, None],
+                axis=2,
+            )[:, :, 0, :]
+            fx_rice = ops_rice.RiceSearchResult(
+                sel("partition_order"), params_sel, sel("code_bits"), sel("use_rice2")
+            )
+        fx_res_bits = ops_rice.residual_count_bits(fx_rice)
+        fx_bits = 8 + bps_v * fx_order + fx_res_bits  # exact subframe bits
+        fx_some = fx_est < verbatim_bits
+    else:
+        fx_order, fx_bits, fx_some = zero_i, jnp.broadcast_to(big, (B, K)), zero_b
+        fx_err = jnp.zeros((B, K, T), jnp.int32)
+        fx_rice = ops_rice.RiceSearchResult(zero_i, zero_parts, jnp.zeros((B, K), jnp.int64), zero_b)
+
+    # ---- QLPC (coding.rs:360-381) ----
+    if sub.use_lpc and not too_short:
+        win = ops_lpc.apply_window(sig, window)
+        corr = ops_lpc.auto_correlation(win, sub.qlpc.lpc_order)
+        coefs = ops_lpc.levinson(corr, sub.qlpc.lpc_order)
+        qcoefs, q_order, q_shift = ops_lpc.quantize_parameters(
+            coefs, sub.qlpc.quant_precision
+        )
+        lpc_err = ops_lpc.compute_error(qcoefs, q_order, q_shift, sig)
+        lpc_rice = ops_rice.find_partitioned_rice_parameters(lpc_err, q_order, T, max_p)
+        lpc_bits = (
+            8
+            + bps_v * q_order.astype(jnp.int64)
+            + 4
+            + 5
+            + sub.qlpc.quant_precision * q_order.astype(jnp.int64)
+            + ops_rice.residual_count_bits(lpc_rice)
+        )
+    else:
+        qcoefs = jnp.zeros((B, K, ops_lpc.MAX_LPC_ORDER), jnp.int32)
+        q_order, q_shift = zero_i, zero_i
+        lpc_err = jnp.zeros((B, K, T), jnp.int32)
+        lpc_rice = ops_rice.RiceSearchResult(zero_i, zero_parts, jnp.zeros((B, K), jnp.int64), zero_b)
+        lpc_bits = jnp.broadcast_to(big, (B, K))
+
+    # ---- selection (coding.rs:384-418) ----
+    baseline = jnp.where(fx_some, jnp.minimum(verbatim_bits, fx_bits), verbatim_bits)
+    lpc_some = (sub.use_lpc and not too_short) & (lpc_bits < baseline)
+    pred_some = lpc_some | fx_some
+    pred_bits = jnp.where(lpc_some, lpc_bits, fx_bits)
+    pred_type = jnp.where(lpc_some, T_LPC, T_FIXED)
+    use_pred = pred_some & (pred_bits < verbatim_bits)
+
+    sf_type = jnp.where(use_pred, pred_type, T_VERBATIM).astype(jnp.int32)
+    sf_bits = jnp.where(use_pred, pred_bits, verbatim_bits)
+    if sub.use_constant:
+        sf_type = jnp.where(is_const, T_CONSTANT, sf_type)
+        sf_bits = jnp.where(is_const, 8 + bps_v, sf_bits)
+
+    is_lpc = sf_type == T_LPC
+    order = jnp.where(is_lpc, q_order, jnp.where(sf_type == T_FIXED, fx_order, 0))
+    errors = jnp.where(is_lpc[..., None], lpc_err, fx_err)
+    rice_order = jnp.where(is_lpc, lpc_rice.partition_order, fx_rice.partition_order)
+    rice_params = jnp.where(is_lpc[..., None], lpc_rice.params, fx_rice.params)
+    return {
+        "sf_type": sf_type,
+        "sf_bits": sf_bits,
+        "order": order.astype(jnp.int32),
+        "qcoefs": qcoefs,
+        "shift": q_shift,
+        "rice_order": rice_order,
+        "rice_params": rice_params,
+        "errors": errors,
+    }
+
+
+def build_encoder_fn(cfg: config_mod.Encoder, nchannels: int, bps: int, block_size: int):
+    """Builds the jitted device program for one (config, C, bps, T) combo."""
+    window = get_window(cfg.subframe_coding.qlpc.window, block_size)
+    stereo = nchannels == 2
+
+    def encode_batch(blocks: jnp.ndarray) -> DeviceEncoded:
+        B, C, T = blocks.shape
+        if stereo:
+            l = blocks[:, 0, :].astype(jnp.int64)
+            r = blocks[:, 1, :].astype(jnp.int64)
+            mid = ((l + r) >> 1).astype(jnp.int32)
+            side = (l - r).astype(jnp.int32)
+            cand = jnp.stack(
+                [blocks[:, 0, :], blocks[:, 1, :], mid, side], axis=1
+            )  # (B, 4, T)
+            bps_k = [bps, bps, bps, bps + 1]
+        else:
+            cand = blocks
+            bps_k = [bps] * C
+
+        res = _subframe_candidates(cfg, cand, bps_k, block_size, window)
+
+        if stereo:
+            bits = res["sf_bits"]  # (B, 4)
+            combos = [bits[:, _L] + bits[:, _R]]  # code 0: LR
+            codes = [0]
+            st = cfg.stereo_coding
+            for flag, code, expr in (
+                (st.use_leftside, 1, bits[:, _L] + bits[:, _S]),
+                (st.use_rightside, 2, bits[:, _R] + bits[:, _S]),
+                (st.use_midside, 3, bits[:, _M] + bits[:, _S]),
+            ):
+                if flag:
+                    combos.append(expr)
+                    codes.append(code)
+            combo_bits = jnp.stack(combos, axis=-1)
+            # strict `<` update loop → first minimum wins (coding.rs:515-522)
+            best = jnp.argmin(combo_bits, axis=-1)
+            assign = jnp.asarray(codes, jnp.int32)[best]
+            s0 = jnp.asarray(_SLOT0, jnp.int32)[assign]
+            s1 = jnp.asarray(_SLOT1, jnp.int32)[assign]
+            slot_idx = jnp.stack([s0, s1], axis=-1)  # (B, 2)
+
+            def gather(a):
+                idx = slot_idx.reshape(slot_idx.shape + (1,) * (a.ndim - 2))
+                return jnp.take_along_axis(a, idx, axis=1)
+
+            out = {k: gather(v) for k, v in res.items()}
+            out_signal = gather(cand)
+        else:
+            assign = jnp.zeros((B,), jnp.int32)
+            out = res
+            out_signal = cand
+
+        return DeviceEncoded(
+            assign=assign,
+            sf_type=out["sf_type"],
+            order=out["order"],
+            qcoefs=out["qcoefs"],
+            shift=out["shift"],
+            rice_order=out["rice_order"],
+            rice_params=out["rice_params"],
+            errors=out["errors"],
+            signal=out_signal,
+            sf_bits=out["sf_bits"],
+        )
+
+    return jax.jit(encode_batch)
+
+
+# ---------------------------------------------------------------------------
+# Host-side frame assembly
+# ---------------------------------------------------------------------------
+
+
+def _quotients_remainders_batch(
+    errors: np.ndarray, rice_params: np.ndarray, rice_order: np.ndarray, warmup: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-sample Rice split for a whole batch.
+
+    errors (B, C, T) i32; rice_params (B, C, P) i32; rice_order (B, C);
+    warmup (B, C). Returns (quotients, remainders) as (B, C, T) u32.
+    """
+    B, C, T = errors.shape
+    v64 = np.abs(errors.astype(np.int64))
+    z = ((v64 << 1) - (errors < 0)).astype(np.uint32)
+    t_idx = np.arange(T, dtype=np.int64)
+    nparts = (1 << rice_order.astype(np.int64))[..., None]  # (B, C, 1)
+    pidx = (t_idx[None, None, :] * nparts) // T
+    p_t = np.take_along_axis(rice_params, pidx, axis=2).astype(np.uint32)
+    q = z >> p_t
+    r = z & ((np.uint32(1) << p_t) - np.uint32(1))
+    warm_mask = t_idx[None, None, :] < warmup[..., None]
+    q[warm_mask] = 0
+    r[warm_mask] = 0
+    return q, r
+
+
+def frames_from_device(
+    enc, frame_numbers, cfg, nchannels, bps, sample_rate, block_size
+) -> List[Frame]:
+    """Builds `component.Frame` objects from device outputs (oracle packer)."""
+    sub = cfg.subframe_coding
+    assign = np.asarray(enc.assign)
+    sf_type = np.asarray(enc.sf_type)
+    order = np.asarray(enc.order)
+    qcoefs = np.asarray(enc.qcoefs)
+    shift = np.asarray(enc.shift)
+    rice_order = np.asarray(enc.rice_order)
+    rice_params = np.asarray(enc.rice_params)
+    errors = np.asarray(enc.errors)
+    signal = np.asarray(enc.signal)
+    B, C, T = signal.shape
+
+    warmup = np.where(sf_type >= T_FIXED, order, 0)
+    qarr, rarr = _quotients_remainders_batch(errors, rice_params, rice_order, warmup)
+
+    frames = []
+    stereo = nchannels == 2
+    for b in range(B):
+        if stereo:
+            ch_info = [
+                ChannelAssignment.independent(2),
+                ChannelAssignment.left_side(),
+                ChannelAssignment.right_side(),
+                ChannelAssignment.mid_side(),
+            ][assign[b]]
+        else:
+            ch_info = ChannelAssignment.independent(nchannels)
+        header = reference_encoder._new_frame_header(T, ch_info, sample_rate, bps)
+        header.set_frame_number(int(frame_numbers[b]))
+        subframes: List[SubFrame] = []
+        for c in range(C):
+            bps_c = bps + ch_info.bits_per_sample_offset(c)
+            t = sf_type[b, c]
+            sig = signal[b, c]
+            if t == T_CONSTANT:
+                subframes.append(Constant(T, int(sig[0]), bps_c))
+            elif t == T_VERBATIM:
+                subframes.append(Verbatim(sig, bps_c))
+            else:
+                o = int(order[b, c])
+                nparts = 1 << int(rice_order[b, c])
+                residual = Residual(
+                    int(rice_order[b, c]), T, o,
+                    rice_params[b, c, :nparts].astype(np.uint8),
+                    qarr[b, c], rarr[b, c],
+                )
+                if t == T_FIXED:
+                    subframes.append(FixedLpc(sig[:o], residual, bps_c))
+                else:
+                    params = QuantizedParameters(
+                        qcoefs[b, c, :o].astype(np.int16), o,
+                        int(shift[b, c]), sub.qlpc.quant_precision,
+                    )
+                    subframes.append(Lpc(sig[:o], params, residual, bps_c))
+        frames.append(Frame(header, subframes))
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# Stream-level entry point
+# ---------------------------------------------------------------------------
+
+DEFAULT_BATCH = 64
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_encoder_fn(cfg_key, nchannels, bps, block_size):
+    cfg = config_mod.Encoder.from_toml(cfg_key)
+    return build_encoder_fn(cfg, nchannels, bps, block_size)
+
+
+def encode_with_fixed_block_size(
+    config: Verified[config_mod.Encoder] | config_mod.Encoder,
+    src: Source,
+    block_size: int,
+    batch_size: int = DEFAULT_BATCH,
+) -> "Stream":
+    """Batched TPU stream encoder (public entry).
+
+    Full blocks run through the device pipeline in batches; the ragged tail
+    block (if any) is encoded by the scalar oracle so that device programs
+    stay shape-static (DESIGN.md "tail handling").
+    """
+    from ..component.datatype import Stream
+
+    cfg = config.inner if isinstance(config, Verified) else config
+    nch = src.channels()
+    bps = src.bits_per_sample()
+    rate = src.sample_rate()
+    stream = Stream(rate, nch, bps)
+    context = Context(bps, nch)
+
+    # read every block up front (host RAM; streaming refinement later)
+    framebuf = FrameBuf(nch, block_size)
+    full_blocks: List[np.ndarray] = []
+    tail: Optional[np.ndarray] = None
+    while True:
+        read = src.read_samples(block_size, (framebuf, context))
+        if read == 0:
+            break
+        if read == block_size:
+            full_blocks.append(framebuf.samples.copy())
+        else:
+            tail = framebuf.samples[:, :read].copy()
+
+    lo = -(1 << (bps - 1))
+    hi = (1 << (bps - 1)) - 1
+    frames: List[Frame] = []
+    if full_blocks:
+        all_blocks = np.stack(full_blocks)  # (N, C, T)
+        if all_blocks.size and (all_blocks.min() < lo or all_blocks.max() > hi):
+            from ..errors import VerifyError
+
+            raise VerifyError(
+                "framebuf.samples", f"must be in range of {bps}-bit signed ints"
+            )
+        fn = _cached_encoder_fn(cfg.to_toml(), nch, bps, block_size)
+        N = all_blocks.shape[0]
+        for start in range(0, N, batch_size):
+            chunk = all_blocks[start : start + batch_size]
+            n_valid = chunk.shape[0]
+            if n_valid < batch_size and N > batch_size:
+                pad = np.zeros((batch_size - n_valid, nch, block_size), np.int32)
+                chunk = np.concatenate([chunk, pad])
+            enc = fn(jnp.asarray(chunk))
+            nums = np.arange(start, start + chunk.shape[0])
+            batch_frames = frames_from_device(
+                enc, nums, cfg, nch, bps, rate, block_size
+            )
+            frames.extend(batch_frames[:n_valid])
+
+    if tail is not None:
+        fb = FrameBuf(nch, tail.shape[1])
+        fb.fill_interleaved(np.ascontiguousarray(tail.T).reshape(-1))
+        frames.append(
+            reference_encoder.encode_fixed_size_frame(
+                cfg, fb, len(frames), stream.stream_info()
+            )
+        )
+
+    for frame in frames:
+        stream.add_frame(frame)
+    if stream.frame_count() > 0:
+        mx = stream.stream_info().max_block_size
+        stream.stream_info_mut().set_block_sizes(mx, mx)
+    stream.stream_info_mut().set_md5_digest(context.md5_digest())
+    total = src.len_hint()
+    stream.stream_info_mut().set_total_samples(
+        total if total is not None else context.total_samples()
+    )
+    return stream
