@@ -1,0 +1,161 @@
+"""Command-line interface: `python -m flacenc_tpu.cli encode|decode`.
+
+Mirrors the reference CLI (``/root/reference/flacenc-bin/src/main.rs``):
+`encode` is the default subcommand; TOML config load (`--config`) and dump
+(`--dump-config`); `decode` parses, optionally dumps the component tree
+(`--dump-struct`, JSON here instead of msgpack), writes a WAV, and verifies
+the stream MD5.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import sys
+import time
+
+import numpy as np
+
+from . import config as config_mod
+from .component import decode_stream, parse_stream
+from .errors import FlacencError
+from .source import MemSource, samples_to_le_bytes
+from .wav import read_wav, write_wav
+
+# sysexits-style codes (main.rs:157-170)
+EX_USAGE = 64
+EX_DATAERR = 65
+EX_SOFTWARE = 70
+EX_IOERR = 74
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="flacenc", description="TPU-native FLAC encoder")
+    sub = p.add_subparsers(dest="command")
+
+    enc = sub.add_parser("encode", help="encode WAV to FLAC (default)")
+    enc.add_argument("source", help="input WAV file")
+    enc.add_argument("-o", "--output", required=True, help="output FLAC file")
+    enc.add_argument("-c", "--config", help="TOML encoder config")
+    enc.add_argument("--dump-config", help="write the effective config TOML here")
+    enc.add_argument("--block-size", type=int, default=None)
+    enc.add_argument(
+        "--cpu-only", action="store_true",
+        help="use the scalar reference encoder instead of the TPU pipeline",
+    )
+
+    dec = sub.add_parser("decode", help="decode FLAC to WAV (experimental)")
+    dec.add_argument("source", help="input FLAC file")
+    dec.add_argument("-o", "--output", required=True, help="output WAV file")
+    dec.add_argument("--dump-struct", help="dump the parsed component tree (JSON)")
+    dec.add_argument("--no-verify", action="store_true", help="skip CRC/MD5 checks")
+    return p
+
+
+def _stream_struct(stream) -> dict:
+    info = stream.stream_info()
+    return {
+        "stream_info": {
+            "min_block_size": info.min_block_size,
+            "max_block_size": info.max_block_size,
+            "min_frame_size": info.min_frame_size,
+            "max_frame_size": info.max_frame_size,
+            "sample_rate": info.sample_rate,
+            "channels": info.channels,
+            "bits_per_sample": info.bits_per_sample,
+            "total_samples": info.total_samples,
+            "md5": info.md5.hex(),
+        },
+        "frames": [
+            {
+                "frame_number": f.header().frame_number,
+                "block_size": f.block_size(),
+                "channel_assignment": repr(f.header().channel_assignment),
+                "subframes": [type(s).__name__ for s in f.subframes()],
+            }
+            for f in stream.frames()
+        ],
+    }
+
+
+def main_enc(args) -> int:
+    import flacenc_tpu
+
+    cfg = config_mod.Encoder()
+    if args.config:
+        with open(args.config) as f:
+            cfg = config_mod.Encoder.from_toml(f.read())
+    if args.block_size:
+        cfg.block_size = args.block_size
+    verified = cfg.into_verified()
+
+    samples, channels, bits, rate = read_wav(args.source)
+    src = MemSource(samples, channels, bits, rate)
+    t0 = time.perf_counter()
+    stream = flacenc_tpu.encode_with_fixed_block_size(
+        verified, src, cfg.block_size, use_tpu=not args.cpu_only
+    )
+    data = stream.to_bytes()
+    elapsed = time.perf_counter() - t0
+    with open(args.output, "wb") as f:
+        f.write(data)
+    if args.dump_config:
+        with open(args.dump_config, "w") as f:
+            f.write(cfg.to_toml())
+    n = len(samples) // channels
+    in_bytes = len(samples) * (bits // 8)
+    rtf = (n / rate) / elapsed if elapsed > 0 else float("inf")
+    print(
+        f"encoded {args.source} -> {args.output}: "
+        f"{len(data)} bytes ({len(data)/in_bytes:.4f} of input), "
+        f"{rtf:.1f}x realtime",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def main_dec(args) -> int:
+    with open(args.source, "rb") as f:
+        data = f.read()
+    stream = parse_stream(data, verify_crc=not args.no_verify)
+    if args.dump_struct:
+        with open(args.dump_struct, "w") as f:
+            json.dump(_stream_struct(stream), f, indent=1)
+    decoded = decode_stream(stream)
+    info = stream.stream_info()
+    if not args.no_verify:
+        md5 = hashlib.md5(
+            samples_to_le_bytes(decoded, -(-info.bits_per_sample // 8))
+        ).digest()
+        if info.md5 != bytes(16) and md5 != info.md5:
+            print("MD5 verification FAILED", file=sys.stderr)
+            return EX_DATAERR
+    write_wav(
+        args.output, decoded, info.channels, info.bits_per_sample, info.sample_rate
+    )
+    print(f"decoded {args.source} -> {args.output}", file=sys.stderr)
+    return 0
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # default subcommand is `encode` (main.rs:404-418)
+    if argv and argv[0] not in ("encode", "decode", "-h", "--help"):
+        argv.insert(0, "encode")
+    args = _build_parser().parse_args(argv)
+    if args.command is None:
+        _build_parser().print_help()
+        return EX_USAGE
+    try:
+        return main_enc(args) if args.command == "encode" else main_dec(args)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return EX_IOERR
+    except FlacencError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return EX_DATAERR
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -66,9 +66,13 @@ class DeviceEncoded(NamedTuple):
     shift: jnp.ndarray         # (B, C) int32
     rice_order: jnp.ndarray    # (B, C) int32 partition order
     rice_params: jnp.ndarray   # (B, C, max_parts) int32
-    errors: jnp.ndarray        # (B, C, T) int32 chosen-predictor residual
-    signal: jnp.ndarray        # (B, C, T) int32 stored channel signal
+    errors: jnp.ndarray        # (B, C, T) int16 chosen-predictor residual
+    fits16: jnp.ndarray        # (B, C) bool — errors fit int16 (else host
+                               #   recomputes that channel exactly)
     sf_bits: jnp.ndarray       # (B, C) int64 exact subframe bit counts
+    # NOTE: stored-channel signals are NOT shipped back — the host already
+    # holds the input blocks and recomputes M/S + slot gathers in numpy,
+    # halving device->host traffic.
 
 
 def _subframe_candidates(cfg, sig, bps_k, block_size, window):
@@ -194,6 +198,12 @@ def _subframe_candidates(cfg, sig, bps_k, block_size, window):
     errors = jnp.where(is_lpc[..., None], lpc_err, fx_err)
     rice_order = jnp.where(is_lpc, lpc_rice.partition_order, fx_rice.partition_order)
     rice_params = jnp.where(is_lpc[..., None], lpc_rice.params, fx_rice.params)
+    # residuals of selected predictors almost always fit i16; ship them
+    # half-width and let the host recompute the rare overflowing channel
+    # exactly (device->host bandwidth is the throughput ceiling)
+    fits16 = jnp.all(
+        (errors >= -32768) & (errors <= 32767), axis=-1
+    )
     return {
         "sf_type": sf_type,
         "sf_bits": sf_bits,
@@ -202,7 +212,8 @@ def _subframe_candidates(cfg, sig, bps_k, block_size, window):
         "shift": q_shift,
         "rice_order": rice_order,
         "rice_params": rice_params,
-        "errors": errors,
+        "errors": errors.astype(jnp.int16),
+        "fits16": fits16,
     }
 
 
@@ -213,6 +224,7 @@ def build_encoder_fn(cfg: config_mod.Encoder, nchannels: int, bps: int, block_si
 
     def encode_batch(blocks: jnp.ndarray) -> DeviceEncoded:
         B, C, T = blocks.shape
+        blocks = blocks.astype(jnp.int32)  # accepts int16 uploads (bps<=16)
         if stereo:
             l = blocks[:, 0, :].astype(jnp.int64)
             r = blocks[:, 1, :].astype(jnp.int64)
@@ -254,11 +266,9 @@ def build_encoder_fn(cfg: config_mod.Encoder, nchannels: int, bps: int, block_si
                 return jnp.take_along_axis(a, idx, axis=1)
 
             out = {k: gather(v) for k, v in res.items()}
-            out_signal = gather(cand)
         else:
             assign = jnp.zeros((B,), jnp.int32)
             out = res
-            out_signal = cand
 
         return DeviceEncoded(
             assign=assign,
@@ -269,7 +279,7 @@ def build_encoder_fn(cfg: config_mod.Encoder, nchannels: int, bps: int, block_si
             rice_order=out["rice_order"],
             rice_params=out["rice_params"],
             errors=out["errors"],
-            signal=out_signal,
+            fits16=out["fits16"],
             sf_bits=out["sf_bits"],
         )
 
@@ -304,8 +314,113 @@ def _quotients_remainders_batch(
     return q, r
 
 
+def _slot_signals(blocks: np.ndarray, assign: np.ndarray, nchannels: int) -> np.ndarray:
+    """Recomputes the stored-channel signals on the host.
+
+    The device only ships decisions + residuals; L/R come straight from the
+    input blocks and M/S are two vector ops (coding.rs:478-484)."""
+    if nchannels != 2:
+        return np.ascontiguousarray(blocks, dtype=np.int32)
+    l = blocks[:, 0].astype(np.int64)
+    r = blocks[:, 1].astype(np.int64)
+    cand = np.stack(
+        [blocks[:, 0], blocks[:, 1],
+         ((l + r) >> 1).astype(np.int32), (l - r).astype(np.int32)],
+        axis=1,
+    )
+    idx = np.stack([_SLOT0[assign], _SLOT1[assign]], axis=1)[..., None]
+    return np.ascontiguousarray(np.take_along_axis(cand, idx, axis=1))
+
+
+def _host_errors(enc, signal: np.ndarray, cfg) -> np.ndarray:
+    """int16-shipped residuals -> int32, recomputing overflow channels.
+
+    Channels whose residuals did not fit int16 (flagged on device) are
+    recomputed exactly on the host with the scalar oracle kernels.
+    """
+    from ..ops import ref_np
+
+    errors = np.asarray(enc.errors).astype(np.int32)
+    fits16 = np.asarray(enc.fits16)
+    sf_type = np.asarray(enc.sf_type)
+    needs_fix = (~fits16) & (sf_type >= T_FIXED)
+    if needs_fix.any():
+        order = np.asarray(enc.order)
+        qcoefs = np.asarray(enc.qcoefs)
+        shift = np.asarray(enc.shift)
+        for b, c in zip(*np.nonzero(needs_fix)):
+            sig = signal[b, c]
+            if sf_type[b, c] == T_FIXED:
+                errors[b, c] = ref_np.fixed_lpc_errors(sig)[order[b, c]]
+            else:
+                errors[b, c] = ref_np.compute_error(
+                    qcoefs[b, c, : order[b, c]].astype(np.int16),
+                    int(shift[b, c]),
+                    sig,
+                )
+    return errors
+
+
+def pack_frames_native(
+    enc, blocks, frame_numbers, cfg, nchannels, bps, sample_rate, block_size
+) -> List[Frame]:
+    """Packs device outputs with the C++ packer; returns `Frame` objects
+    carrying precomputed bitstreams (the reference's
+    ``Frame::precompute_bitstream`` fast path, datatype.rs:1036-1049)."""
+    from .. import native
+    from ..component.datatype import BlockSizeSpec, SampleRateSpec, SampleSizeSpec
+
+    assign = np.asarray(enc.assign)
+    B = assign.shape[0]
+    stereo = nchannels == 2
+    if stereo:
+        ch_tag = _ASSIGN_TAGS[assign]
+    else:
+        ch_tag = np.full(B, nchannels - 1, dtype=np.int32)
+
+    bs = BlockSizeSpec.from_size(block_size)
+    sr = SampleRateSpec.from_freq(sample_rate) or SampleRateSpec.UNSPECIFIED
+    ss = SampleSizeSpec.from_bits(bps)
+    signal = _slot_signals(blocks, assign, nchannels)
+    errors = _host_errors(enc, signal, cfg)
+    data, sizes = native.pack_frames(
+        signal, errors,
+        np.asarray(enc.sf_type), np.asarray(enc.order),
+        np.asarray(enc.qcoefs), np.asarray(enc.shift),
+        np.asarray(enc.rice_order), np.asarray(enc.rice_params),
+        ch_tag, np.asarray(frame_numbers, dtype=np.int64),
+        bps, cfg.subframe_coding.qlpc.quant_precision,
+        (bs.tag, bs.count_extra_bits(), bs.extra or 0),
+        (sr.tag, sr.count_extra_bits(), sr.extra or 0),
+        ss.tag,
+    )
+    frames: List[Frame] = []
+    offset = 0
+    view = memoryview(data)
+    for b in range(B):
+        if stereo:
+            ch_info = [
+                ChannelAssignment.independent(2),
+                ChannelAssignment.left_side(),
+                ChannelAssignment.right_side(),
+                ChannelAssignment.mid_side(),
+            ][assign[b]]
+        else:
+            ch_info = ChannelAssignment.independent(nchannels)
+        header = reference_encoder._new_frame_header(
+            block_size, ch_info, sample_rate, bps
+        )
+        header.set_frame_number(int(frame_numbers[b]))
+        frame = Frame(header, [])
+        end = offset + int(sizes[b])
+        frame.precomputed_bitstream = bytes(view[offset:end])
+        offset = end
+        frames.append(frame)
+    return frames
+
+
 def frames_from_device(
-    enc, frame_numbers, cfg, nchannels, bps, sample_rate, block_size
+    enc, blocks, frame_numbers, cfg, nchannels, bps, sample_rate, block_size
 ) -> List[Frame]:
     """Builds `component.Frame` objects from device outputs (oracle packer)."""
     sub = cfg.subframe_coding
@@ -316,8 +431,8 @@ def frames_from_device(
     shift = np.asarray(enc.shift)
     rice_order = np.asarray(enc.rice_order)
     rice_params = np.asarray(enc.rice_params)
-    errors = np.asarray(enc.errors)
-    signal = np.asarray(enc.signal)
+    signal = _slot_signals(blocks, assign, nchannels)
+    errors = _host_errors(enc, signal, cfg)
     B, C, T = signal.shape
 
     warmup = np.where(sf_type >= T_FIXED, order, 0)
@@ -384,6 +499,7 @@ def encode_with_fixed_block_size(
     src: Source,
     block_size: int,
     batch_size: int = DEFAULT_BATCH,
+    packer: str = "auto",
 ) -> "Stream":
     """Batched TPU stream encoder (public entry).
 
@@ -424,20 +540,44 @@ def encode_with_fixed_block_size(
             raise VerifyError(
                 "framebuf.samples", f"must be in range of {bps}-bit signed ints"
             )
+        if packer == "auto":
+            from .. import native
+
+            packer = "native" if native.available() else "python"
+        assemble = pack_frames_native if packer == "native" else frames_from_device
         fn = _cached_encoder_fn(cfg.to_toml(), nch, bps, block_size)
         N = all_blocks.shape[0]
+
+        # double-buffered dispatch (the FRAMEBUF_MULTIPLICITY=2 analogue,
+        # constant.rs:103): keep a bounded number of device batches in
+        # flight; JAX dispatch is async, so host packing of batch i overlaps
+        # device compute of batch i+1.
+        in_flight: List[tuple] = []
+        depth = constants.par.FRAMEBUF_MULTIPLICITY
+
+        def drain_one():
+            enc, chunk, nums, n_valid = in_flight.pop(0)
+            batch_frames = assemble(enc, chunk, nums, cfg, nch, bps, rate, block_size)
+            frames.extend(batch_frames[:n_valid])
+
         for start in range(0, N, batch_size):
             chunk = all_blocks[start : start + batch_size]
             n_valid = chunk.shape[0]
             if n_valid < batch_size and N > batch_size:
                 pad = np.zeros((batch_size - n_valid, nch, block_size), np.int32)
                 chunk = np.concatenate([chunk, pad])
-            enc = fn(jnp.asarray(chunk))
-            nums = np.arange(start, start + chunk.shape[0])
-            batch_frames = frames_from_device(
-                enc, nums, cfg, nch, bps, rate, block_size
-            )
-            frames.extend(batch_frames[:n_valid])
+            up = chunk.astype(np.int16) if bps <= 16 else chunk
+            enc = fn(jnp.asarray(up))
+            for arr in enc:  # start device->host copies early
+                try:
+                    arr.copy_to_host_async()
+                except Exception:
+                    pass
+            in_flight.append((enc, chunk, np.arange(start, start + chunk.shape[0]), n_valid))
+            if len(in_flight) >= depth:
+                drain_one()
+        while in_flight:
+            drain_one()
 
     if tail is not None:
         fb = FrameBuf(nch, tail.shape[1])

@@ -1,0 +1,112 @@
+"""ctypes bindings for the native FLAC frame packer.
+
+The packer consumes batch arrays straight from the device pipeline and
+emits FLAC frame bytes in one call per batch (the bit-serial stage the
+reference implements in ``src/bitsink.rs``/``bitrepr.rs``). Falls back to
+the Python component serializer when the shared library cannot be built.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_lib = None
+_load_error: Optional[Exception] = None
+
+
+def _load():
+    global _lib, _load_error
+    if _lib is not None or _load_error is not None:
+        return _lib
+    try:
+        from .build import build
+
+        path = build()
+        lib = ctypes.CDLL(path)
+        lib.flacenc_pack_frames.restype = ctypes.c_int64
+        lib.flacenc_pack_frames.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),  # signal
+            ctypes.POINTER(ctypes.c_int32),  # errors
+            ctypes.POINTER(ctypes.c_int32),  # sf_type
+            ctypes.POINTER(ctypes.c_int32),  # order
+            ctypes.POINTER(ctypes.c_int32),  # qcoefs
+            ctypes.POINTER(ctypes.c_int32),  # shift
+            ctypes.POINTER(ctypes.c_int32),  # rice_order
+            ctypes.POINTER(ctypes.c_int32),  # rice_params
+            ctypes.POINTER(ctypes.c_int32),  # ch_tag
+            ctypes.POINTER(ctypes.c_int64),  # frame_numbers
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _lib = lib
+    except Exception as e:  # pragma: no cover - toolchain missing
+        _load_error = e
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def pack_frames(
+    signal: np.ndarray,        # (F, C, T) int32
+    errors: np.ndarray,        # (F, C, T) int32
+    sf_type: np.ndarray,       # (F, C) int32
+    order: np.ndarray,         # (F, C) int32
+    qcoefs: np.ndarray,        # (F, C, 24) int32
+    shift: np.ndarray,         # (F, C) int32
+    rice_order: np.ndarray,    # (F, C) int32
+    rice_params: np.ndarray,   # (F, C, P) int32
+    ch_tag: np.ndarray,        # (F,) int32
+    frame_numbers: np.ndarray, # (F,) int64
+    bps_base: int,
+    precision: int,
+    bs_spec: Tuple[int, int, int],  # (tag, extra_bits, extra_val)
+    sr_spec: Tuple[int, int, int],
+    ss_tag: int,
+) -> Tuple[bytes, np.ndarray]:
+    """Packs a batch of frames; returns (concatenated bytes, per-frame sizes)."""
+    lib = _load()
+    assert lib is not None, f"native packer unavailable: {_load_error}"
+    F, C, T = signal.shape
+    P = rice_params.shape[-1]
+
+    def c32(a):
+        return np.ascontiguousarray(a, dtype=np.int32)
+
+    signal = c32(signal); errors = c32(errors); sf_type = c32(sf_type)
+    order = c32(order); qcoefs = c32(qcoefs); shift = c32(shift)
+    rice_order = c32(rice_order); rice_params = c32(rice_params)
+    ch_tag = c32(ch_tag)
+    frame_numbers = np.ascontiguousarray(frame_numbers, dtype=np.int64)
+
+    capacity = F * (64 + C * (T * 5 + 64))
+    out = np.empty(capacity, dtype=np.uint8)
+    sizes = np.zeros(F, dtype=np.int64)
+    total = lib.flacenc_pack_frames(
+        _ptr(signal, ctypes.c_int32), _ptr(errors, ctypes.c_int32),
+        _ptr(sf_type, ctypes.c_int32), _ptr(order, ctypes.c_int32),
+        _ptr(qcoefs, ctypes.c_int32), _ptr(shift, ctypes.c_int32),
+        _ptr(rice_order, ctypes.c_int32), _ptr(rice_params, ctypes.c_int32),
+        _ptr(ch_tag, ctypes.c_int32), _ptr(frame_numbers, ctypes.c_int64),
+        F, C, T, P, bps_base, precision,
+        bs_spec[0], bs_spec[1], bs_spec[2],
+        sr_spec[0], sr_spec[1], sr_spec[2],
+        ss_tag,
+        _ptr(out, ctypes.c_uint8), capacity,
+        _ptr(sizes, ctypes.c_int64),
+    )
+    assert total >= 0, "native packer capacity exceeded"
+    return out[:total].tobytes(), sizes

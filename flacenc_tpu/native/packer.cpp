@@ -1,0 +1,262 @@
+// FLAC frame bitstream packer — the host-side bit-serial stage.
+//
+// TPU-native equivalent of the reference's BitSink/BitRepr serialization
+// (/root/reference/src/bitsink.rs, src/component/bitrepr.rs): the device
+// computes predictors, Rice parameters, and residuals for a whole batch of
+// frames; this packer turns them into FLAC bytes in one call per batch.
+// Byte-for-byte identical to the Python component serializer (tested).
+//
+// Build: python flacenc_tpu/native/build.py  (g++ -O3 -shared -fPIC)
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// CRCs (bitrepr.rs:39-40 — CRC-8 poly 0x07, CRC-16 poly 0x8005, init 0)
+// ---------------------------------------------------------------------------
+
+struct CrcTables {
+    uint8_t crc8[256];
+    uint16_t crc16[8][256];  // slice-by-8
+    CrcTables() {
+        for (int i = 0; i < 256; ++i) {
+            uint8_t c = (uint8_t)i;
+            for (int k = 0; k < 8; ++k) c = (c & 0x80) ? (uint8_t)((c << 1) ^ 0x07) : (uint8_t)(c << 1);
+            crc8[i] = c;
+        }
+        for (int i = 0; i < 256; ++i) {
+            uint16_t c = (uint16_t)(i << 8);
+            for (int k = 0; k < 8; ++k) c = (c & 0x8000) ? (uint16_t)((c << 1) ^ 0x8005) : (uint16_t)(c << 1);
+            crc16[0][i] = c;
+        }
+        for (int s = 1; s < 8; ++s)
+            for (int i = 0; i < 256; ++i)
+                crc16[s][i] = (uint16_t)((crc16[s - 1][i] << 8) ^ crc16[0][crc16[s - 1][i] >> 8]);
+    }
+};
+static const CrcTables kCrc;
+
+static inline uint8_t crc8_range(const uint8_t* p, size_t n) {
+    uint8_t c = 0;
+    for (size_t i = 0; i < n; ++i) c = kCrc.crc8[c ^ p[i]];
+    return c;
+}
+
+static inline uint16_t crc16_range(const uint8_t* p, size_t n) {
+    uint16_t c = 0;
+    size_t i = 0;
+    for (; i + 8 <= n; i += 8) {
+        c = (uint16_t)(kCrc.crc16[7][((c >> 8) ^ p[i]) & 0xFF]
+                     ^ kCrc.crc16[6][((c & 0xFF) ^ p[i + 1]) & 0xFF]
+                     ^ kCrc.crc16[5][p[i + 2]]
+                     ^ kCrc.crc16[4][p[i + 3]]
+                     ^ kCrc.crc16[3][p[i + 4]]
+                     ^ kCrc.crc16[2][p[i + 5]]
+                     ^ kCrc.crc16[1][p[i + 6]]
+                     ^ kCrc.crc16[0][p[i + 7]]);
+    }
+    for (; i < n; ++i) c = (uint16_t)((c << 8) ^ kCrc.crc16[0][((c >> 8) ^ p[i]) & 0xFF]);
+    return c;
+}
+
+// ---------------------------------------------------------------------------
+// MSB-first bit writer (bitsink.rs MemSink<u64> analogue)
+// ---------------------------------------------------------------------------
+
+struct BitWriter {
+    uint8_t* buf;
+    size_t pos;      // bytes written
+    uint64_t acc;    // pending bits, right-aligned
+    int nbits;       // 0..7 pending bits in acc
+
+    explicit BitWriter(uint8_t* b) : buf(b), pos(0), acc(0), nbits(0) {}
+
+    // n <= 56; val must fit in n bits
+    inline void put(uint64_t val, int n) {
+        acc = (acc << n) | val;
+        nbits += n;
+        while (nbits >= 8) {
+            nbits -= 8;
+            buf[pos++] = (uint8_t)(acc >> nbits);
+        }
+        acc &= (1ull << nbits) - 1;
+    }
+
+    inline void put_zeros(uint32_t n) {
+        if (nbits + n < 8) {  // stays sub-byte
+            acc <<= n;
+            nbits += n;
+            return;
+        }
+        // flush partial byte padded with zeros
+        uint32_t fill = (uint32_t)(8 - nbits);
+        buf[pos++] = (uint8_t)(acc << fill);
+        n -= fill;
+        acc = 0;
+        nbits = 0;
+        size_t whole = n >> 3;
+        if (whole) {
+            memset(buf + pos, 0, whole);
+            pos += whole;
+        }
+        nbits = n & 7;  // acc already 0
+    }
+
+    inline void put_twoc(int32_t v, int n) { put((uint64_t)((uint32_t)v) & ((1ull << n) - 1), n); }
+
+    inline void align() {
+        if (nbits) {
+            buf[pos++] = (uint8_t)(acc << (8 - nbits));
+            acc = 0;
+            nbits = 0;
+        }
+    }
+};
+
+// UTF-8-like frame-number coding (bitrepr.rs:109-170)
+static inline void put_utf8like(BitWriter& w, uint64_t val) {
+    int code_bits = 64 - __builtin_clzll(val | 1);
+    if (val < 0x80) {
+        w.put(val, 8);
+        return;
+    }
+    static const uint8_t heads[7] = {0x80, 0xC0, 0xE0, 0xF0, 0xF8, 0xFC, 0xFE};
+    int trailing = (code_bits - 2) / 5;
+    int capacity = trailing * 6 + 6 - trailing;
+    int first_bits = 6 - trailing;
+    uint64_t v = val << (64 - capacity);
+    uint8_t head = (trailing == 6) ? 0xFE : (uint8_t)(heads[trailing] | (v >> (64 - first_bits)));
+    w.put(head, 8);
+    v <<= first_bits;
+    for (int i = 0; i < trailing; ++i) {
+        w.put(0x80u | (uint8_t)(v >> 58), 8);
+        v <<= 6;
+    }
+}
+
+static inline uint32_t zigzag(int32_t e) {
+    return (((uint32_t)e) << 1) ^ (uint32_t)(e >> 31);
+}
+
+enum SubframeType { T_CONSTANT = 0, T_VERBATIM = 1, T_FIXED = 2, T_LPC = 3 };
+
+}  // namespace
+
+extern "C" {
+
+// Packs F frames (uniform block size T) into `out`; returns total bytes or
+// -1 if `out_capacity` would be exceeded (caller sizes for worst case).
+int64_t flacenc_pack_frames(
+    const int32_t* signal,        // (F, C, T) stored channel signals
+    const int32_t* errors,        // (F, C, T) chosen-predictor residuals
+    const int32_t* sf_type,      // (F, C)
+    const int32_t* order,         // (F, C)
+    const int32_t* qcoefs,        // (F, C, 24)
+    const int32_t* shift,         // (F, C)
+    const int32_t* rice_order,    // (F, C)
+    const int32_t* rice_params,   // (F, C, max_parts)
+    const int32_t* ch_tag,        // (F,) channel-assignment tag (0..10)
+    const int64_t* frame_numbers, // (F,)
+    int32_t F, int32_t C, int32_t T, int32_t max_parts,
+    int32_t bps_base, int32_t precision,
+    int32_t bs_tag, int32_t bs_extra_bits, int32_t bs_extra_val,
+    int32_t sr_tag, int32_t sr_extra_bits, int32_t sr_extra_val,
+    int32_t ss_tag,
+    uint8_t* out, int64_t out_capacity,
+    int64_t* frame_sizes) {
+    // worst-case bytes for one frame: header (~16) + per channel
+    // (verbatim: T * 32 bits upper bound) + CRC
+    const int64_t worst_frame = 32 + (int64_t)C * ((int64_t)T * 5 + 64);
+
+    int64_t total = 0;
+    for (int f = 0; f < F; ++f) {
+        if (total + worst_frame > out_capacity) return -1;
+        uint8_t* frame_start = out + total;
+        BitWriter w(frame_start);
+
+        // ---- frame header (bitrepr.rs:373-419), fixed blocking ----
+        w.put(0xFFF8u, 16);
+        w.put(((uint32_t)bs_tag << 4) | (uint32_t)sr_tag, 8);
+        w.put(((uint32_t)ch_tag[f] << 4) | ((uint32_t)ss_tag << 1), 8);
+        put_utf8like(w, (uint64_t)frame_numbers[f]);
+        if (bs_extra_bits) w.put((uint32_t)bs_extra_val, bs_extra_bits);
+        if (sr_extra_bits) w.put((uint32_t)sr_extra_val, sr_extra_bits);
+        // header CRC-8 over the bytes written so far (byte-aligned here)
+        w.put(crc8_range(frame_start, w.pos), 8);
+
+        // ---- subframes ----
+        int tag = ch_tag[f];
+        for (int c = 0; c < C; ++c) {
+            int bps = bps_base;
+            if ((tag == 8 && c == 1) || (tag == 9 && c == 0) || (tag == 10 && c == 1))
+                bps += 1;  // side channel (datatype.rs:1145-1160)
+            const size_t base = ((size_t)f * C + c) * T;
+            const int32_t* sig = signal + base;
+            const int32_t* err = errors + base;
+            const int st = sf_type[f * C + c];
+            const int ord = order[f * C + c];
+
+            if (st == T_CONSTANT) {
+                w.put(0x00u, 8);
+                w.put_twoc(sig[0], bps);
+                continue;
+            }
+            if (st == T_VERBATIM) {
+                w.put(0x02u, 8);
+                for (int t = 0; t < T; ++t) w.put_twoc(sig[t], bps);
+                continue;
+            }
+            if (st == T_FIXED) {
+                w.put(0x10u | ((uint32_t)ord << 1), 8);
+            } else {  // LPC
+                w.put(0x40u | ((uint32_t)(ord - 1) << 1), 8);
+            }
+            for (int t = 0; t < ord; ++t) w.put_twoc(sig[t], bps);
+            if (st == T_LPC) {
+                w.put((uint32_t)(precision - 1), 4);
+                w.put_twoc(shift[f * C + c], 5);
+                const int32_t* qc = qcoefs + ((size_t)f * C + c) * 24;
+                for (int k = 0; k < ord; ++k) w.put_twoc(qc[k], precision);
+            }
+
+            // ---- residual (bitrepr.rs:530-597) ----
+            const int p_order = rice_order[f * C + c];
+            const int nparts = 1 << p_order;
+            const int part_len = T >> p_order;
+            const int32_t* params = rice_params + ((size_t)f * C + c) * max_parts;
+            bool use_rice2 = false;
+            for (int p = 0; p < nparts; ++p)
+                if (params[p] > 14) { use_rice2 = true; break; }
+            const int param_bits = use_rice2 ? 5 : 4;
+            w.put(use_rice2 ? 1u : 0u, 2);
+            w.put((uint32_t)p_order, 4);
+            int offset = 0;
+            for (int p = 0; p < nparts; ++p) {
+                const uint32_t rice_p = (uint32_t)params[p];
+                w.put(rice_p, param_bits);
+                int start = offset > ord ? offset : ord;
+                offset += part_len;
+                const uint32_t startbit = 1u << rice_p;
+                const int rp1 = (int)rice_p + 1;
+                for (int t = start; t < offset; ++t) {
+                    const uint32_t z = zigzag(err[t]);
+                    w.put_zeros(z >> rice_p);
+                    w.put((z & (startbit - 1)) | startbit, rp1);
+                }
+            }
+        }
+
+        w.align();
+        const uint16_t crc = crc16_range(frame_start, w.pos);
+        w.put(crc, 16);
+        frame_sizes[f] = (int64_t)w.pos;
+        total += (int64_t)w.pos;
+    }
+    return total;
+}
+
+// Streaming MD5 is done in Python via hashlib (C speed already).
+
+}  // extern "C"

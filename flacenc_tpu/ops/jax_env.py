@@ -6,6 +6,20 @@ precision. Importing this module (done by every device op module) enables
 x64 before any tracing happens.
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: encoder programs are specialized per
+# (config, block_size, batch) and reused across processes.
+_cache_dir = os.environ.get(
+    "FLACENC_TPU_JAX_CACHE", os.path.expanduser("~/.cache/flacenc_tpu_jax")
+)
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass

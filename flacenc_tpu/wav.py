@@ -1,0 +1,76 @@
+"""Minimal WAV (RIFF PCM) reader/writer for the CLI.
+
+The analogue of the reference CLI's hound-based source
+(``/root/reference/flacenc-bin/src/source.rs``): header parse + raw block
+reads, with the 8-bit offset-binary -> two's-complement fixup
+(source.rs:119-124).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Tuple
+
+import numpy as np
+
+from .errors import SourceError
+from .source import le_bytes_to_samples, samples_to_le_bytes
+
+
+def read_wav(path: str) -> Tuple[np.ndarray, int, int, int]:
+    """Returns (interleaved int32 samples, channels, bits_per_sample, rate)."""
+    with open(path, "rb") as f:
+        riff = f.read(12)
+        if len(riff) < 12 or riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+            raise SourceError(SourceError.INVALID_FORMAT, path)
+        fmt = None
+        data = None
+        while True:
+            head = f.read(8)
+            if len(head) < 8:
+                break
+            tag, size = head[:4], struct.unpack("<I", head[4:])[0]
+            if tag == b"fmt ":
+                fmt = f.read(size)
+            elif tag == b"data":
+                data = f.read(size)
+            else:
+                f.seek(size + (size & 1), 1)
+            if size & 1 and tag in (b"fmt ", b"data"):
+                f.seek(1, 1)
+        if fmt is None or data is None:
+            raise SourceError(SourceError.INVALID_FORMAT, path)
+        audio_format, channels, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+        if audio_format == 0xFFFE and len(fmt) >= 26:  # WAVE_FORMAT_EXTENSIBLE
+            audio_format = struct.unpack("<H", fmt[24:26])[0]
+        if audio_format != 1:  # PCM only
+            raise SourceError(SourceError.UNSUPPORTED_FORMAT, path)
+        bytes_per_sample = bits // 8
+        n = len(data) // bytes_per_sample
+        samples = le_bytes_to_samples(data[: n * bytes_per_sample], bytes_per_sample)
+        if bits == 8:
+            samples = samples.astype(np.int32)
+            samples = np.where(samples >= 0, samples - 128, samples + 128)
+            # WAV 8-bit is unsigned (0..255); bytes read as i8 need +-128 swap
+            raw = np.frombuffer(data[: n], dtype=np.uint8).astype(np.int32) - 128
+            samples = raw
+        return samples.astype(np.int32), channels, bits, rate
+
+
+def write_wav(path: str, interleaved: np.ndarray, channels: int, bits: int, rate: int) -> None:
+    bytes_per_sample = bits // 8
+    if bits == 8:
+        payload = (np.asarray(interleaved, np.int32) + 128).astype(np.uint8).tobytes()
+    else:
+        payload = samples_to_le_bytes(np.asarray(interleaved, np.int32), bytes_per_sample)
+    byte_rate = rate * channels * bytes_per_sample
+    block_align = channels * bytes_per_sample
+    with open(path, "wb") as f:
+        f.write(b"RIFF")
+        f.write(struct.pack("<I", 36 + len(payload)))
+        f.write(b"WAVE")
+        f.write(b"fmt ")
+        f.write(struct.pack("<IHHIIHH", 16, 1, channels, rate, byte_rate, block_align, bits))
+        f.write(b"data")
+        f.write(struct.pack("<I", len(payload)))
+        f.write(payload)
