@@ -157,8 +157,17 @@ def _subframe_candidates(cfg, sig, bps_k, block_size, window):
     # ---- QLPC (coding.rs:360-381) ----
     if sub.use_lpc and not too_short:
         win = ops_lpc.apply_window(sig, window)
-        corr = ops_lpc.auto_correlation(win, sub.qlpc.lpc_order)
-        coefs = ops_lpc.levinson(corr, sub.qlpc.lpc_order)
+        # estimation method dispatch (coding.rs:333-351)
+        if sub.qlpc.use_direct_mse:
+            if sub.qlpc.mae_optimization_steps > 0:
+                coefs = ops_lpc.lpc_irls_mae(
+                    sig, win, sub.qlpc.lpc_order, sub.qlpc.mae_optimization_steps
+                )
+            else:
+                coefs = ops_lpc.lpc_direct_mse(win, sub.qlpc.lpc_order)
+        else:
+            corr = ops_lpc.auto_correlation(win, sub.qlpc.lpc_order)
+            coefs = ops_lpc.levinson(corr, sub.qlpc.lpc_order)
         qcoefs, q_order, q_shift = ops_lpc.quantize_parameters(
             coefs, sub.qlpc.quant_precision
         )
@@ -488,6 +497,24 @@ def frames_from_device(
 DEFAULT_BATCH = 64
 
 
+def _bucket_size(n: int, batch_size: int) -> int:
+    """Round a partial batch up to a power-of-two bucket so only
+    O(log batch) device programs exist per config."""
+    b = 1
+    while b < n and b < batch_size:
+        b <<= 1
+    return min(b, batch_size)
+
+
+def _bucket_pad(chunk: np.ndarray, batch_size: int) -> np.ndarray:
+    n = chunk.shape[0]
+    target = _bucket_size(n, batch_size)
+    if target == n:
+        return chunk
+    pad = np.zeros((target - n,) + chunk.shape[1:], chunk.dtype)
+    return np.concatenate([chunk, pad])
+
+
 @functools.lru_cache(maxsize=32)
 def _cached_encoder_fn(cfg_key, nchannels, bps, block_size):
     cfg = config_mod.Encoder.from_toml(cfg_key)
@@ -561,11 +588,8 @@ def encode_with_fixed_block_size(
             frames.extend(batch_frames[:n_valid])
 
         for start in range(0, N, batch_size):
-            chunk = all_blocks[start : start + batch_size]
-            n_valid = chunk.shape[0]
-            if n_valid < batch_size and N > batch_size:
-                pad = np.zeros((batch_size - n_valid, nch, block_size), np.int32)
-                chunk = np.concatenate([chunk, pad])
+            chunk = _bucket_pad(all_blocks[start : start + batch_size], batch_size)
+            n_valid = min(N - start, batch_size)
             up = chunk.astype(np.int16) if bps <= 16 else chunk
             enc = fn(jnp.asarray(up))
             for arr in enc:  # start device->host copies early

@@ -114,12 +114,28 @@ def fixed_lpc(
     return FixedLpc(signal[:order], residual, bits_per_sample)
 
 
+def perform_qlpc(cfg: config_mod.SubFrameCoding, signal: np.ndarray) -> np.ndarray:
+    """LPC estimation method dispatch (coding.rs:333-351).
+
+    The reference gates direct-MSE/IRLS-MAE behind its `experimental`
+    feature; this framework always ships them.
+    """
+    q = cfg.qlpc
+    if q.use_direct_mse:
+        if q.mae_optimization_steps > 0:
+            return ref_np.lpc_with_irls_mae(
+                signal, q.window, q.lpc_order, q.mae_optimization_steps
+            )
+        return ref_np.lpc_with_direct_mse(signal, q.window, q.lpc_order)
+    return ref_np.lpc_from_autocorr(signal, q.window, q.lpc_order)
+
+
 def estimated_qlpc(
     cfg: config_mod.SubFrameCoding, signal: np.ndarray, bits_per_sample: int
 ) -> Lpc:
     """coding.rs:360-381."""
     lpc_order = cfg.qlpc.lpc_order
-    coefs = ref_np.lpc_from_autocorr(signal, cfg.qlpc.window, lpc_order)
+    coefs = perform_qlpc(cfg, signal)
     qcoefs, order, shift = ref_np.quantize_parameters(
         coefs[:lpc_order], cfg.qlpc.quant_precision
     )

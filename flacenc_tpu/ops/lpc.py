@@ -188,3 +188,154 @@ def compute_error(
     # wrap to i32 two's complement (Rust `as i32`)
     wrapped = ((err + jnp.int64(1 << 31)) & jnp.int64(0xFFFFFFFF)) - jnp.int64(1 << 31)
     return wrapped.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Experimental LPC estimation on device (lpc.rs:813-913)
+# ---------------------------------------------------------------------------
+
+
+def lagged_outer_prod_sum(win: jnp.ndarray, lpc_order: int, weights=None) -> jnp.ndarray:
+    """Batched covariance matrix M[i,j] = sum_t s[t-i] s[t-j] w(t+1).
+
+    `win`: (..., T) f32 windowed signal; uses s = win[..., :-1] and
+    t in [order-1, T-2] like the reference's ShiftedWeight<1> call
+    (lpc.rs:878-883). Weight application is f32. The contraction is a
+    batched (order, T') x (T', order) matmul (MXU-shaped).
+    """
+    s32 = win[..., :-1]
+    T1 = s32.shape[-1]
+    lo = lpc_order - 1
+    # S[..., i, t] = s[t + lo - i] for t in [0, T1-lo)
+    rows = [s32[..., lo - i : T1 - i] for i in range(lpc_order)]
+    S32 = jnp.stack(rows, axis=-2)  # (..., order, T') f32
+    S = S32.astype(jnp.float64)
+    if weights is not None:
+        w_t = weights[..., None, lo + 1 : T1 + 1].astype(jnp.float32)
+        Wside = (S32 * w_t).astype(jnp.float64)
+    else:
+        Wside = S
+    return jnp.einsum("...it,...jt->...ij", S, Wside)
+
+
+def cholesky_solve_spd(M: jnp.ndarray, y: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched unrolled Cholesky solve; returns (x, failed).
+
+    failed=True where M is not SPD (non-positive pivot), mirroring
+    nalgebra's failure that triggers the reference's regularization retry
+    (lpc.rs:885-894). Unrolled over the (static, <=32) order — no linalg
+    HLOs, safe under the TPU x64-rewrite.
+    """
+    n = y.shape[-1]
+    batch = y.shape[:-1]
+    L = jnp.zeros(batch + (n, n), dtype=jnp.float64)
+    failed = jnp.zeros(batch, dtype=bool)
+    for j in range(n):
+        d = M[..., j, j] - sum(L[..., j, k] ** 2 for k in range(j))
+        failed = failed | (d <= 0.0) | jnp.isnan(d)
+        dj = jnp.sqrt(jnp.where(d <= 0.0, 1.0, d))
+        L = L.at[..., j, j].set(dj)
+        for i in range(j + 1, n):
+            off = M[..., i, j] - sum(L[..., i, k] * L[..., j, k] for k in range(j))
+            L = L.at[..., i, j].set(off / dj)
+    # forward substitution L z = y
+    z = jnp.zeros_like(y)
+    for i in range(n):
+        acc = y[..., i] - sum(L[..., i, k] * z[..., k] for k in range(i))
+        z = z.at[..., i].set(acc / L[..., i, i])
+    # backward substitution L^T x = z
+    x = jnp.zeros_like(y)
+    for i in range(n - 1, -1, -1):
+        acc = z[..., i] - sum(L[..., k, i] * x[..., k] for k in range(i + 1, n))
+        x = x.at[..., i].set(acc / L[..., i, i])
+    return x, failed
+
+
+def _solve_spd_with_retry(M: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    n = y.shape[-1]
+    eye = jnp.eye(n, dtype=jnp.float64)
+
+    def attempt(reg):
+        Mr = M + reg[..., None, None] * eye
+        return cholesky_solve_spd(Mr, y)
+
+    x0, f0 = attempt(jnp.zeros(y.shape[:-1]))
+
+    def cond(state):
+        _, failed, _ = state
+        return jnp.any(failed)
+
+    def body(state):
+        _, failed, reg = state
+        new_reg = jnp.where(failed, jnp.maximum(1.0, reg + reg), reg)
+        x, f = attempt(new_reg)
+        return x, f & failed, new_reg
+
+    x, _, _ = jax.lax.while_loop(cond, body, (x0, f0, jnp.zeros(y.shape[:-1])))
+    return x
+
+
+def weighted_auto_correlation(
+    win: jnp.ndarray, lpc_order: int, weights=None
+) -> jnp.ndarray:
+    """corr[tau] = sum_{t>=order} x[t-tau] * f64(f32(w[t] x[t]))."""
+    x = win.astype(jnp.float64)
+    T = x.shape[-1]
+    warm = lpc_order
+    if weights is not None:
+        wy = (win[..., warm:] * weights[..., warm:].astype(jnp.float32)).astype(
+            jnp.float32
+        ).astype(jnp.float64)
+    else:
+        wy = x[..., warm:]
+    lags = [
+        (wy * x[..., warm - tau : T - tau]).sum(axis=-1)
+        for tau in range(lpc_order + 1)
+    ]
+    return jnp.stack(lags, axis=-1)
+
+
+def lpc_direct_mse(win: jnp.ndarray, lpc_order: int, weights=None) -> jnp.ndarray:
+    """Direct-MSE (covariance) LPC on device (lpc.rs:853-913)."""
+    corr = weighted_auto_correlation(win, lpc_order, weights)
+    M = lagged_outer_prod_sum(win, lpc_order, weights)
+    return _solve_spd_with_retry(M, corr[..., 1:])
+
+
+def compute_raw_errors_f32(signal: jnp.ndarray, coefs: jnp.ndarray) -> jnp.ndarray:
+    """Float prediction errors err[t] = pred - signal (lpc.rs:606-618)."""
+    order = coefs.shape[-1]
+    sig = signal.astype(jnp.float32)
+    T = sig.shape[-1]
+    err = -sig
+    for j in range(order):
+        c = coefs[..., j].astype(jnp.float32)[..., None]
+        shifted = jnp.pad(sig[..., : T - 1 - j], [(0, 0)] * (sig.ndim - 1) + [(j + 1, 0)])
+        err = c * shifted + err
+    t_idx = jnp.arange(T)
+    return jnp.where(t_idx < order, 0.0, err)
+
+
+def lpc_irls_mae(
+    signal: jnp.ndarray, win: jnp.ndarray, lpc_order: int, steps: int
+) -> jnp.ndarray:
+    """IRLS mean-absolute-error LPC on device (lpc.rs:814-850)."""
+    T = signal.shape[-1]
+    batch = signal.shape[:-1]
+    weights = jnp.ones(batch + (T,), dtype=jnp.float32)
+    best = jnp.zeros(batch + (lpc_order,), dtype=jnp.float64)
+    best_err = jnp.full(batch, jnp.inf, dtype=jnp.float32)
+    normalizer = jnp.max(jnp.abs(signal), axis=-1).astype(jnp.float32)[..., None]
+    t_idx = jnp.arange(T)
+    for _ in range(steps + 1):
+        coefs = lpc_direct_mse(win, lpc_order, weights)
+        raw = compute_raw_errors_f32(signal, coefs)
+        sum_abs = jnp.abs(raw).sum(axis=-1, dtype=jnp.float32)
+        better = sum_abs < best_err
+        best = jnp.where(better[..., None], coefs, best)
+        best_err = jnp.where(better, sum_abs, best_err)
+        w = jnp.maximum(
+            jnp.maximum(jnp.abs(raw), 1.0) / normalizer, 0.01
+        ) ** jnp.float32(-1.2)
+        weights = jnp.where(t_idx < lpc_order, weights, w)
+    return best

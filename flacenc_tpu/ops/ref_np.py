@@ -358,3 +358,118 @@ def estimate_entropy(errors: np.ndarray, warmup_len: int, partitions: int) -> in
                 acc += int(contrib)
         offset = end
     return acc
+
+
+# ---------------------------------------------------------------------------
+# Experimental LPC estimation (lpc.rs:813-913, feature "experimental")
+# ---------------------------------------------------------------------------
+
+
+def weighted_auto_correlation(
+    order: int, sig_f32: np.ndarray, weights: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """corr[tau] = sum_{t=order-1}^{T-1} x[t-tau] * f64(f32(w[t] * x[t])).
+
+    Weight application happens in f32 like the reference's `VecWeight`
+    (lpc.rs:194-203) before the f64 accumulation.
+    """
+    x = sig_f32.astype(np.float64)
+    T = len(x)
+    warm = order - 1
+    if weights is not None:
+        wy = (
+            np.asarray(weights[warm:T], np.float32) * sig_f32[warm:T]
+        ).astype(np.float32).astype(np.float64)
+    else:
+        wy = x[warm:T]
+    dest = np.zeros(order, dtype=np.float64)
+    for tau in range(order):
+        dest[tau] = np.dot(x[warm - tau : T - tau], wy)
+    return dest
+
+
+def weighted_lagged_outer_prod_sum(
+    order: int, sig_f32: np.ndarray, weights: Optional[np.ndarray], t_shift: int
+) -> np.ndarray:
+    """M[i, j] = sum_{t=order-1}^{len-1} s[t-i] * f64(f32(w[t+shift] s[t-j]))
+    (lpc.rs:571-600 with ShiftedWeight; the weight multiply is f32)."""
+    T = len(sig_f32)
+    M = np.zeros((order, order), dtype=np.float64)
+    s = sig_f32.astype(np.float64)
+    if weights is not None:
+        w_t = np.asarray(
+            weights[order - 1 + t_shift : T + t_shift], np.float32
+        )
+    else:
+        w_t = None
+    for i in range(order):
+        si = s[order - 1 - i : T - i]
+        for j in range(i, order):
+            sj32 = sig_f32[order - 1 - j : T - j]
+            wx = (w_t * sj32).astype(np.float32) if w_t is not None else sj32
+            acc = float(np.dot(si, wx.astype(np.float64)))
+            M[i, j] = acc
+            M[j, i] = acc
+    return M
+
+
+def _solve_spd(M: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Cholesky solve with the reference's doubling regularization retry
+    (lpc.rs:885-894)."""
+    regularizer = 0.0
+    order = M.shape[0]
+    Mr = M.copy()
+    while True:
+        try:
+            L = np.linalg.cholesky(Mr)
+            x = np.linalg.solve(Mr, y)
+            return x
+        except np.linalg.LinAlgError:
+            old = regularizer
+            regularizer = max(1.0, regularizer + regularizer)
+            Mr[np.arange(order), np.arange(order)] += regularizer - old
+
+
+def lpc_with_direct_mse(
+    signal: np.ndarray, window: Window, lpc_order: int,
+    weights: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Direct-MSE (covariance-method) LPC (lpc.rs:853-913)."""
+    w = windowed_signal(signal, window)
+    corr = weighted_auto_correlation(lpc_order + 1, w, weights)
+    M = weighted_lagged_outer_prod_sum(lpc_order, w[: len(w) - 1], weights, 1)
+    return _solve_spd(M, corr[1:].copy())
+
+
+def compute_raw_errors(signal: np.ndarray, coefs: np.ndarray) -> np.ndarray:
+    """Float prediction errors (lpc.rs:606-618): err[t] = pred - signal, f32."""
+    order = len(coefs)
+    errors = np.zeros(len(signal), dtype=np.float32)
+    sig = signal.astype(np.float32)
+    for t in range(order, len(signal)):
+        e = np.float32(-sig[t])
+        for j in range(order):
+            e = np.float32(np.float32(coefs[j]) * sig[t - 1 - j] + e)
+        errors[t] = e
+    return errors
+
+
+def lpc_with_irls_mae(
+    signal: np.ndarray, window: Window, lpc_order: int, steps: int
+) -> np.ndarray:
+    """IRLS mean-absolute-error optimization (lpc.rs:814-850)."""
+    weights = np.ones(len(signal), dtype=np.float32)
+    best_coefs = None
+    best_error = np.inf
+    normalizer = np.float32(np.max(np.abs(signal)))
+    for _ in range(steps + 1):
+        coefs = lpc_with_direct_mse(signal, window, lpc_order, weights)
+        raw = compute_raw_errors(signal, coefs)
+        sum_abs = float(np.abs(raw).sum(dtype=np.float32))
+        if sum_abs < best_error:
+            best_error = sum_abs
+            best_coefs = coefs
+        err = np.abs(raw[lpc_order:])
+        w = np.maximum(np.maximum(err, 1.0) / normalizer, 0.01) ** np.float32(-1.2)
+        weights[lpc_order:] = w
+    return best_coefs

@@ -8,5 +8,6 @@ double-buffered (`pipeline.py`), with ordered frame reassembly on the host
 """
 
 from .mesh import block_mesh, shard_encoder_fn
+from .pipeline import PipelineStats, encode_corpus
 
-__all__ = ["block_mesh", "shard_encoder_fn"]
+__all__ = ["block_mesh", "shard_encoder_fn", "encode_corpus", "PipelineStats"]

@@ -1,18 +1,27 @@
 """Test configuration.
 
-Device tests run on a virtual 8-device CPU mesh so the full multi-chip
-sharding path is exercised without TPU hardware; f64 is enabled to match
-the encoder's autocorrelation/Levinson precision.
+Tests always run on a virtual 8-device CPU mesh: fast, deterministic, and
+exercises the full multi-chip sharding path without TPU hardware. On boxes
+where a TPU-tunnel plugin (axon) hijacks platform selection, it is stripped
+from the import path so `JAX_PLATFORMS=cpu` is honored. Real-hardware
+execution is covered by bench.py and the driver's entry checks.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# strip TPU-tunnel plugins that override JAX_PLATFORMS (must happen before
+# the first `import jax` anywhere in the test session)
+sys.path[:] = [p for p in sys.path if "axon" not in p]
+os.environ["PYTHONPATH"] = ":".join(
+    p for p in os.environ.get("PYTHONPATH", "").split(":") if p and "axon" not in p
+)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,69 @@
+"""Corpus pipeline + mesh sharding tests (the par.rs test analogue —
+channel-protocol tests become pipeline/ordering tests, par.rs:478-539)."""
+
+import numpy as np
+import pytest
+
+from flacenc_tpu import config, sigen, source
+from flacenc_tpu.component import decode_stream, parse_stream
+from flacenc_tpu.parallel import encode_corpus
+
+
+def _mem_source(seed, n, rate=44100):
+    x = np.zeros(2 * n, np.int32)
+    x[0::2] = sigen.Sine(90 + seed, 0.4).noise_with_seed(seed, 0.02).to_vec_quantized(16, n)
+    x[1::2] = sigen.Sine(91 + seed, 0.4).noise_with_seed(seed + 100, 0.02).to_vec_quantized(16, n)
+    return x, source.MemSource(x, 2, 16, rate)
+
+
+def test_corpus_encode_ordered_and_lossless():
+    block = 1024
+    inputs = {}
+    sources = []
+    for i, n in enumerate((3000, 1024, 5000)):
+        x, src = _mem_source(i, n)
+        inputs[f"f{i}"] = x
+        sources.append((f"f{i}", src))
+    streams, stats = encode_corpus(sources, config.Encoder().into_verified(), block)
+    assert stats.files == 3
+    assert stats.frames == sum(-(-n // block) for n in (3000, 1024, 5000))
+    for name, x in inputs.items():
+        data = streams[name].to_bytes()
+        decoded = decode_stream(parse_stream(data))
+        assert np.array_equal(decoded, x), name
+        # frame numbers sequential (ordered reassembly)
+        for i, f in enumerate(streams[name].frames()):
+            assert f.header().frame_number == i
+
+
+def test_corpus_encode_mixed_rates():
+    block = 1024
+    _, s1 = _mem_source(1, 2500, rate=44100)
+    x2, s2 = _mem_source(2, 2500, rate=48000)
+    streams, _ = encode_corpus(
+        [("a", s1), ("b", s2)], config.Encoder().into_verified(), block
+    )
+    assert streams["b"].stream_info().sample_rate == 48000
+    assert np.array_equal(decode_stream(parse_stream(streams["b"].to_bytes())), x2)
+
+
+def test_mesh_sharded_encoder_matches_single_device():
+    import jax
+    import jax.numpy as jnp
+
+    from flacenc_tpu.models import batch_encoder as be
+    from flacenc_tpu.parallel import block_mesh, shard_encoder_fn
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    cfg = config.Encoder()
+    T = 512
+    fn = be.build_encoder_fn(cfg, 2, 16, T)
+    mesh = block_mesh(jax.devices()[:8])
+    sharded = shard_encoder_fn(fn, mesh)
+    rng = np.random.default_rng(0)
+    blocks = jnp.asarray(rng.integers(-(1 << 12), 1 << 12, (16, 2, T), np.int32))
+    single = jax.device_get(fn(blocks)._asdict())
+    multi = jax.device_get(sharded(blocks)._asdict())
+    for k in single:
+        np.testing.assert_array_equal(single[k], multi[k], err_msg=k)
