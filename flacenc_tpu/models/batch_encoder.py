@@ -75,6 +75,23 @@ class DeviceEncoded(NamedTuple):
     # halving device->host traffic.
 
 
+class DevicePackedEncoded(NamedTuple):
+    """Device outputs when residual payloads are bit-packed on-chip.
+
+    `words` stays resident on the device; the host fetches `total_bits`
+    first, then pulls a compacted flat payload buffer (ops/pack.py).
+    """
+
+    assign: jnp.ndarray       # (B,)
+    sf_type: jnp.ndarray      # (B, C)
+    order: jnp.ndarray        # (B, C)
+    qcoefs: jnp.ndarray       # (B, C, 24)
+    shift: jnp.ndarray        # (B, C)
+    sf_bits: jnp.ndarray      # (B, C)
+    total_bits: jnp.ndarray   # (B, C) residual payload bits
+    words: jnp.ndarray        # (B, C, W) uint32 packed payload (on device)
+
+
 def _subframe_candidates(cfg, sig, bps_k, block_size, window):
     """Evaluate all predictor candidates for candidate channels.
 
@@ -213,6 +230,7 @@ def _subframe_candidates(cfg, sig, bps_k, block_size, window):
     fits16 = jnp.all(
         (errors >= -32768) & (errors <= 32767), axis=-1
     )
+    use_rice2 = jnp.where(is_lpc, lpc_rice.use_rice2, fx_rice.use_rice2)
     return {
         "sf_type": sf_type,
         "sf_bits": sf_bits,
@@ -222,12 +240,24 @@ def _subframe_candidates(cfg, sig, bps_k, block_size, window):
         "rice_order": rice_order,
         "rice_params": rice_params,
         "errors": errors.astype(jnp.int16),
+        "errors32": errors,
+        "use_rice2": use_rice2,
         "fits16": fits16,
     }
 
 
-def build_encoder_fn(cfg: config_mod.Encoder, nchannels: int, bps: int, block_size: int):
-    """Builds the jitted device program for one (config, C, bps, T) combo."""
+def build_encoder_fn(
+    cfg: config_mod.Encoder,
+    nchannels: int,
+    bps: int,
+    block_size: int,
+    device_pack: bool = False,
+):
+    """Builds the jitted device program for one (config, C, bps, T) combo.
+
+    With `device_pack=True` the residual payloads are bit-packed on the
+    device (ops/pack.py) and per-sample residuals never leave the chip.
+    """
     window = get_window(cfg.subframe_coding.qlpc.window, block_size)
     stereo = nchannels == 2
 
@@ -278,6 +308,26 @@ def build_encoder_fn(cfg: config_mod.Encoder, nchannels: int, bps: int, block_si
         else:
             assign = jnp.zeros((B,), jnp.int32)
             out = res
+
+        if device_pack:
+            from ..ops import pack as ops_pack
+
+            warmup = jnp.where(out["sf_type"] >= T_FIXED, out["order"], 0)
+            active = out["sf_type"] >= T_FIXED
+            words, total_bits = ops_pack.pack_residual_payload(
+                out["errors32"], out["rice_order"], out["rice_params"],
+                warmup, out["use_rice2"], active, block_size, bps + 1,
+            )
+            return DevicePackedEncoded(
+                assign=assign,
+                sf_type=out["sf_type"],
+                order=out["order"],
+                qcoefs=out["qcoefs"],
+                shift=out["shift"],
+                sf_bits=out["sf_bits"],
+                total_bits=total_bits,
+                words=words,
+            )
 
         return DeviceEncoded(
             assign=assign,
@@ -379,6 +429,7 @@ def pack_frames_native(
     from .. import native
     from ..component.datatype import BlockSizeSpec, SampleRateSpec, SampleSizeSpec
 
+    enc = DeviceEncoded(**jax.device_get(enc._asdict()))  # one round trip
     assign = np.asarray(enc.assign)
     B = assign.shape[0]
     stereo = nchannels == 2
@@ -433,6 +484,7 @@ def frames_from_device(
 ) -> List[Frame]:
     """Builds `component.Frame` objects from device outputs (oracle packer)."""
     sub = cfg.subframe_coding
+    enc = DeviceEncoded(**jax.device_get(enc._asdict()))  # one round trip
     assign = np.asarray(enc.assign)
     sf_type = np.asarray(enc.sf_type)
     order = np.asarray(enc.order)
@@ -497,28 +549,107 @@ def frames_from_device(
 DEFAULT_BATCH = 64
 
 
-def _bucket_size(n: int, batch_size: int) -> int:
-    """Round a partial batch up to a power-of-two bucket so only
-    O(log batch) device programs exist per config."""
-    b = 1
-    while b < n and b < batch_size:
-        b <<= 1
-    return min(b, batch_size)
-
-
 def _bucket_pad(chunk: np.ndarray, batch_size: int) -> np.ndarray:
+    """Pad partial batches to the full batch size: exactly ONE device
+    program exists per (config, C, bps, T, batch). Padded blocks cost at
+    most one batch of device time per encode — far cheaper than compiling
+    per-shape programs (compilation dominates on remote-compile setups)."""
     n = chunk.shape[0]
-    target = _bucket_size(n, batch_size)
-    if target == n:
+    if n == batch_size:
         return chunk
-    pad = np.zeros((target - n,) + chunk.shape[1:], chunk.dtype)
+    pad = np.zeros((batch_size - n,) + chunk.shape[1:], chunk.dtype)
     return np.concatenate([chunk, pad])
 
 
 @functools.lru_cache(maxsize=32)
-def _cached_encoder_fn(cfg_key, nchannels, bps, block_size):
+def _cached_encoder_fn(cfg_key, nchannels, bps, block_size, device_pack=False):
     cfg = config_mod.Encoder.from_toml(cfg_key)
-    return build_encoder_fn(cfg, nchannels, bps, block_size)
+    return build_encoder_fn(cfg, nchannels, bps, block_size, device_pack)
+
+
+_COMPACT_BUCKET_WORDS = 1 << 18  # 1 MiB download granularity
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_compact_fn(budget: int):
+    from ..ops import pack as ops_pack
+
+    return jax.jit(
+        lambda words, counts, offsets: ops_pack.compact_payloads(
+            words, counts, offsets, budget
+        )
+    )
+
+
+def pack_frames_devicepacked(
+    enc: "DevicePackedEncoded", blocks, frame_numbers, cfg, nchannels, bps,
+    sample_rate, block_size,
+) -> List[Frame]:
+    """Host assembly when residuals were bit-packed on the device.
+
+    Fetches only decisions + payload sizes, compacts the payload words into
+    a flat buffer on-device (bucketed budget keeps program count small),
+    pulls it, and lets the C++ packer blit payloads into frames.
+    """
+    from .. import native
+    from ..component.datatype import BlockSizeSpec, SampleRateSpec, SampleSizeSpec
+
+    host = jax.device_get(
+        {k: v for k, v in enc._asdict().items() if k != "words"}
+    )  # ONE round trip for all decision fields
+    assign = host["assign"]
+    total_bits = host["total_bits"]  # (B, C)
+    B, C = total_bits.shape
+    counts = ((total_bits + 31) // 32).astype(np.int32)
+    offsets_flat = np.concatenate([[0], np.cumsum(counts.reshape(-1))])
+    total_words = int(offsets_flat[-1])
+    offsets = offsets_flat[:-1].reshape(B, C).astype(np.int32)
+    budget = max(
+        _COMPACT_BUCKET_WORDS,
+        -(-total_words // _COMPACT_BUCKET_WORDS) * _COMPACT_BUCKET_WORDS,
+    )
+    compact = _cached_compact_fn(budget)
+    flat = np.asarray(compact(enc.words, jnp.asarray(counts), jnp.asarray(offsets)))
+
+    stereo = nchannels == 2
+    ch_tag = _ASSIGN_TAGS[assign] if stereo else np.full(B, nchannels - 1, np.int32)
+    signal = _slot_signals(blocks, assign, nchannels)
+    bs = BlockSizeSpec.from_size(block_size)
+    sr = SampleRateSpec.from_freq(sample_rate) or SampleRateSpec.UNSPECIFIED
+    ss = SampleSizeSpec.from_bits(bps)
+    data, sizes = native.pack_frames_from_device_payload(
+        signal, flat, total_bits.astype(np.int64), offsets.astype(np.int64),
+        host["sf_type"], host["order"],
+        host["qcoefs"], host["shift"],
+        ch_tag, np.asarray(frame_numbers, dtype=np.int64),
+        bps, cfg.subframe_coding.qlpc.quant_precision,
+        (bs.tag, bs.count_extra_bits(), bs.extra or 0),
+        (sr.tag, sr.count_extra_bits(), sr.extra or 0),
+        ss.tag,
+    )
+    frames: List[Frame] = []
+    offset = 0
+    view = memoryview(data)
+    for b in range(B):
+        if stereo:
+            ch_info = [
+                ChannelAssignment.independent(2),
+                ChannelAssignment.left_side(),
+                ChannelAssignment.right_side(),
+                ChannelAssignment.mid_side(),
+            ][assign[b]]
+        else:
+            ch_info = ChannelAssignment.independent(nchannels)
+        header = reference_encoder._new_frame_header(
+            block_size, ch_info, sample_rate, bps
+        )
+        header.set_frame_number(int(frame_numbers[b]))
+        frame = Frame(header, [])
+        end = offset + int(sizes[b])
+        frame.precomputed_bitstream = bytes(view[offset:end])
+        offset = end
+        frames.append(frame)
+    return frames
 
 
 def encode_with_fixed_block_size(
@@ -570,9 +701,18 @@ def encode_with_fixed_block_size(
         if packer == "auto":
             from .. import native
 
+            # the C++ host packer wins on both PCIe-attached and tunneled
+            # devices; "device" (on-chip bit packing, ops/pack.py) is kept
+            # as an option for transfer-starved links with fast XLA gathers
             packer = "native" if native.available() else "python"
-        assemble = pack_frames_native if packer == "native" else frames_from_device
-        fn = _cached_encoder_fn(cfg.to_toml(), nch, bps, block_size)
+        assemble = {
+            "device": pack_frames_devicepacked,
+            "native": pack_frames_native,
+            "python": frames_from_device,
+        }[packer]
+        fn = _cached_encoder_fn(
+            cfg.to_toml(), nch, bps, block_size, packer == "device"
+        )
         N = all_blocks.shape[0]
 
         # double-buffered dispatch (the FRAMEBUF_MULTIPLICITY=2 analogue,
@@ -592,7 +732,11 @@ def encode_with_fixed_block_size(
             n_valid = min(N - start, batch_size)
             up = chunk.astype(np.int16) if bps <= 16 else chunk
             enc = fn(jnp.asarray(up))
-            for arr in enc:  # start device->host copies early
+            fetch_fields = (
+                enc._asdict().items() if not isinstance(enc, DevicePackedEncoded)
+                else [kv for kv in enc._asdict().items() if kv[0] != "words"]
+            )
+            for _, arr in fetch_fields:  # start device->host copies early
                 try:
                     arr.copy_to_host_async()
                 except Exception:

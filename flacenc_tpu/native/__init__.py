@@ -110,3 +110,79 @@ def pack_frames(
     )
     assert total >= 0, "native packer capacity exceeded"
     return out[:total].tobytes(), sizes
+
+
+def _bind_device_packer(lib):
+    lib.flacenc_pack_frames_device.restype = ctypes.c_int64
+    lib.flacenc_pack_frames_device.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),   # signal
+        ctypes.POINTER(ctypes.c_uint32),  # payload words
+        ctypes.POINTER(ctypes.c_int64),   # payload_bits
+        ctypes.POINTER(ctypes.c_int64),   # payload_off
+        ctypes.POINTER(ctypes.c_int32),   # sf_type
+        ctypes.POINTER(ctypes.c_int32),   # order
+        ctypes.POINTER(ctypes.c_int32),   # qcoefs
+        ctypes.POINTER(ctypes.c_int32),   # shift
+        ctypes.POINTER(ctypes.c_int32),   # ch_tag
+        ctypes.POINTER(ctypes.c_int64),   # frame_numbers
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+
+
+def pack_frames_from_device_payload(
+    signal: np.ndarray,         # (F, C, T) int32
+    payload: np.ndarray,        # flat uint32 words
+    payload_bits: np.ndarray,   # (F, C) int64
+    payload_off: np.ndarray,    # (F, C) int64 (word offsets)
+    sf_type: np.ndarray,
+    order: np.ndarray,
+    qcoefs: np.ndarray,
+    shift: np.ndarray,
+    ch_tag: np.ndarray,
+    frame_numbers: np.ndarray,
+    bps_base: int,
+    precision: int,
+    bs_spec: Tuple[int, int, int],
+    sr_spec: Tuple[int, int, int],
+    ss_tag: int,
+) -> Tuple[bytes, np.ndarray]:
+    """Packs frames whose residual payloads were bit-packed on device."""
+    lib = _load()
+    assert lib is not None, f"native packer unavailable: {_load_error}"
+    _bind_device_packer(lib)
+    F, C, T = signal.shape
+
+    def c32(a):
+        return np.ascontiguousarray(a, dtype=np.int32)
+
+    signal = c32(signal); sf_type = c32(sf_type); order = c32(order)
+    qcoefs = c32(qcoefs); shift = c32(shift); ch_tag = c32(ch_tag)
+    payload = np.ascontiguousarray(payload, dtype=np.uint32)
+    payload_bits = np.ascontiguousarray(payload_bits, dtype=np.int64)
+    payload_off = np.ascontiguousarray(payload_off, dtype=np.int64)
+    frame_numbers = np.ascontiguousarray(frame_numbers, dtype=np.int64)
+
+    capacity = F * (64 + C * (T * 5 + 64))
+    out = np.empty(capacity, dtype=np.uint8)
+    sizes = np.zeros(F, dtype=np.int64)
+    total = lib.flacenc_pack_frames_device(
+        _ptr(signal, ctypes.c_int32), _ptr(payload, ctypes.c_uint32),
+        _ptr(payload_bits, ctypes.c_int64), _ptr(payload_off, ctypes.c_int64),
+        _ptr(sf_type, ctypes.c_int32), _ptr(order, ctypes.c_int32),
+        _ptr(qcoefs, ctypes.c_int32), _ptr(shift, ctypes.c_int32),
+        _ptr(ch_tag, ctypes.c_int32), _ptr(frame_numbers, ctypes.c_int64),
+        F, C, T, bps_base, precision,
+        bs_spec[0], bs_spec[1], bs_spec[2],
+        sr_spec[0], sr_spec[1], sr_spec[2],
+        ss_tag,
+        _ptr(out, ctypes.c_uint8), capacity,
+        _ptr(sizes, ctypes.c_int64),
+    )
+    assert total >= 0, "native packer capacity exceeded"
+    return out[:total].tobytes(), sizes

@@ -257,6 +257,98 @@ int64_t flacenc_pack_frames(
     return total;
 }
 
+
+// Packs F frames whose fixed/LPC residual payloads were already bit-packed
+// on the device (flacenc_tpu/ops/pack.py): the host writes headers, warmup
+// samples, and LPC parameters, then bit-blits each channel's payload
+// (method+order header, partition params, rice codes) from u32 words.
+int64_t flacenc_pack_frames_device(
+    const int32_t* signal,        // (F, C, T)
+    const uint32_t* payload,      // flat u32 words (big-bit-endian)
+    const int64_t* payload_bits,  // (F, C) payload length in bits
+    const int64_t* payload_off,   // (F, C) word offset into `payload`
+    const int32_t* sf_type,      // (F, C)
+    const int32_t* order,         // (F, C)
+    const int32_t* qcoefs,        // (F, C, 24)
+    const int32_t* shift,         // (F, C)
+    const int32_t* ch_tag,        // (F,)
+    const int64_t* frame_numbers, // (F,)
+    int32_t F, int32_t C, int32_t T,
+    int32_t bps_base, int32_t precision,
+    int32_t bs_tag, int32_t bs_extra_bits, int32_t bs_extra_val,
+    int32_t sr_tag, int32_t sr_extra_bits, int32_t sr_extra_val,
+    int32_t ss_tag,
+    uint8_t* out, int64_t out_capacity,
+    int64_t* frame_sizes) {
+    const int64_t worst_frame = 32 + (int64_t)C * ((int64_t)T * 5 + 64);
+
+    int64_t total = 0;
+    for (int f = 0; f < F; ++f) {
+        if (total + worst_frame > out_capacity) return -1;
+        uint8_t* frame_start = out + total;
+        BitWriter w(frame_start);
+
+        w.put(0xFFF8u, 16);
+        w.put(((uint32_t)bs_tag << 4) | (uint32_t)sr_tag, 8);
+        w.put(((uint32_t)ch_tag[f] << 4) | ((uint32_t)ss_tag << 1), 8);
+        put_utf8like(w, (uint64_t)frame_numbers[f]);
+        if (bs_extra_bits) w.put((uint32_t)bs_extra_val, bs_extra_bits);
+        if (sr_extra_bits) w.put((uint32_t)sr_extra_val, sr_extra_bits);
+        w.put(crc8_range(frame_start, w.pos), 8);
+
+        int tag = ch_tag[f];
+        for (int c = 0; c < C; ++c) {
+            int bps = bps_base;
+            if ((tag == 8 && c == 1) || (tag == 9 && c == 0) || (tag == 10 && c == 1))
+                bps += 1;
+            const size_t base = ((size_t)f * C + c) * T;
+            const int32_t* sig = signal + base;
+            const int st = sf_type[f * C + c];
+            const int ord = order[f * C + c];
+
+            if (st == T_CONSTANT) {
+                w.put(0x00u, 8);
+                w.put_twoc(sig[0], bps);
+                continue;
+            }
+            if (st == T_VERBATIM) {
+                w.put(0x02u, 8);
+                for (int t = 0; t < T; ++t) w.put_twoc(sig[t], bps);
+                continue;
+            }
+            if (st == T_FIXED) {
+                w.put(0x10u | ((uint32_t)ord << 1), 8);
+            } else {
+                w.put(0x40u | ((uint32_t)(ord - 1) << 1), 8);
+            }
+            for (int t = 0; t < ord; ++t) w.put_twoc(sig[t], bps);
+            if (st == T_LPC) {
+                w.put((uint32_t)(precision - 1), 4);
+                w.put_twoc(shift[f * C + c], 5);
+                const int32_t* qc = qcoefs + ((size_t)f * C + c) * 24;
+                for (int k = 0; k < ord; ++k) w.put_twoc(qc[k], precision);
+            }
+
+            // blit the device-packed payload
+            int64_t bits = payload_bits[f * C + c];
+            const uint32_t* src = payload + payload_off[f * C + c];
+            while (bits >= 32) {
+                w.put(*src++, 32);
+                bits -= 32;
+            }
+            if (bits > 0) w.put((*src) >> (32 - bits), (int)bits);
+        }
+
+        w.align();
+        const uint16_t crc = crc16_range(frame_start, w.pos);
+        w.put(crc, 16);
+        frame_sizes[f] = (int64_t)w.pos;
+        total += (int64_t)w.pos;
+    }
+    return total;
+}
+
 // Streaming MD5 is done in Python via hashlib (C speed already).
+
 
 }  // extern "C"

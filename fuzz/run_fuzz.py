@@ -1,0 +1,138 @@
+"""Property-based fuzz harness (the cargo-fuzz target analogue).
+
+Mirrors ``/root/reference/fuzz/fuzz_targets/frame_encode.rs``: random
+channel counts (1-8), block sizes (32-32767), sample rates, bits-per-sample
+(8-24), random encoder configs (stereo toggles, windows, orders, order
+selectors), and compositional random signals; the property is
+encode -> verify -> serialize -> CRC-checked parse -> decode == input.
+
+Run standalone for an unbounded campaign:
+    python fuzz/run_fuzz.py [--iters N] [--seed S] [--max-block 4096]
+Failing cases print a reproducible seed and dump the component struct.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from flacenc_tpu import config, sigen, source
+from flacenc_tpu.component import decode_stream, parse_stream
+from flacenc_tpu.component.verify import verify_stream
+from flacenc_tpu.models import reference_encoder as re
+
+
+def random_signal_gen(rng: np.random.Generator) -> sigen.Signal:
+    """Compositional random signal (fuzz_targets/frame_encode.rs:72-126)."""
+    kind = rng.integers(0, 4)
+    period = int(rng.integers(2, 3000))
+    amp = float(rng.uniform(0.01, 0.99))
+    if kind == 0:
+        base = sigen.Dc(float(rng.uniform(-0.9, 0.9)))
+    elif kind == 1:
+        base = sigen.Sine(period, amp, float(rng.uniform(0, 6.28)))
+    elif kind == 2:
+        base = sigen.Square(period, amp)
+    else:
+        base = sigen.Noise(amp, seed0=int(rng.integers(0, 2**32)))
+    # random decorators
+    for _ in range(int(rng.integers(0, 3))):
+        deco = rng.integers(0, 3)
+        if deco == 0:
+            base = base.noise_with_seed(int(rng.integers(0, 2**32)), float(rng.uniform(0, 0.3)))
+        elif deco == 1:
+            base = base.clip()
+        else:
+            base = base.concat(
+                int(rng.integers(1, 1000)),
+                sigen.Noise(float(rng.uniform(0, 0.5)), seed0=int(rng.integers(0, 2**32))),
+            )
+    return base
+
+
+def random_config(rng: np.random.Generator) -> config.Encoder:
+    """Random valid encoder config (frame_encode.rs:37-70)."""
+    cfg = config.Encoder()
+    st = cfg.stereo_coding
+    st.use_leftside = bool(rng.integers(0, 2))
+    st.use_rightside = bool(rng.integers(0, 2))
+    st.use_midside = bool(rng.integers(0, 2))
+    sub = cfg.subframe_coding
+    sub.use_constant = bool(rng.integers(0, 2))
+    sub.use_fixed = bool(rng.integers(0, 2))
+    sub.use_lpc = bool(rng.integers(0, 2))
+    sub.fixed.max_order = int(rng.integers(0, 5))
+    if rng.integers(0, 2):
+        sub.fixed.order_sel = config.OrderSel.bit_count()
+    else:
+        sub.fixed.order_sel = config.OrderSel.approx_ent(int(rng.integers(1, 65)))
+    sub.qlpc.lpc_order = int(rng.integers(1, 25))
+    sub.qlpc.quant_precision = int(rng.integers(4, 16))
+    if rng.integers(0, 2):
+        sub.qlpc.window = config.Window.rectangle()
+    else:
+        sub.qlpc.window = config.Window.tukey(float(rng.uniform(0.0, 1.0)))
+    sub.prc.max_parameter = int(rng.integers(4, 31))
+    return cfg
+
+
+def one_case(seed: int, max_block: int = 4096, verbose: bool = False) -> None:
+    rng = np.random.default_rng(seed)
+    channels = int(rng.integers(1, 9))
+    block_size = int(rng.integers(32, max_block + 1))
+    signal_len = int(rng.integers(1, 3 * block_size + 2))
+    bps = int(rng.integers(8, 25))
+    rate = int(rng.integers(1, 655351))
+    cfg = random_config(rng).into_verified()
+
+    interleaved = np.zeros(signal_len * channels, dtype=np.int32)
+    for ch in range(channels):
+        gen = random_signal_gen(rng)
+        interleaved[ch::channels] = gen.to_vec_quantized(bps, signal_len)
+
+    src = source.MemSource(interleaved, channels, bps, rate)
+    stream = re.encode_with_fixed_block_size(cfg, src, block_size)
+    verify_stream(stream)
+    data = stream.to_bytes()
+    parsed = parse_stream(data)  # CRC-verified
+    decoded = decode_stream(parsed)
+    assert np.array_equal(decoded, interleaved), (
+        f"round-trip mismatch (seed={seed}, ch={channels}, block={block_size}, "
+        f"bps={bps}, rate={rate})"
+    )
+    if verbose:
+        print(
+            f"seed={seed}: ch={channels} block={block_size} len={signal_len} "
+            f"bps={bps} rate={rate} -> {len(data)}B ok"
+        )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=None, help="replay one case")
+    ap.add_argument("--max-block", type=int, default=4096)
+    ap.add_argument("--start", type=int, default=0)
+    args = ap.parse_args()
+    if args.seed is not None:
+        one_case(args.seed, args.max_block, verbose=True)
+        return 0
+    for i in range(args.start, args.start + args.iters):
+        try:
+            one_case(i, args.max_block)
+        except Exception:
+            print(f"FUZZ FAILURE at seed={i}; replay: python fuzz/run_fuzz.py --seed {i}")
+            raise
+        if i % 10 == 0:
+            print(f"... {i - args.start + 1}/{args.iters}", flush=True)
+    print(f"{args.iters} cases passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,14 @@
+"""Bounded fuzz run in CI (the reference builds its fuzz target in CI;
+we actually execute a slice of the campaign, SURVEY.md §4 tier 4)."""
+
+import sys
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fuzz"))
+
+from run_fuzz import one_case
+
+
+def test_fuzz_slice():
+    for seed in range(12):
+        one_case(seed, max_block=1024)

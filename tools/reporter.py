@@ -1,0 +1,134 @@
+"""Benchmark report generator (the ``pytools/reporter.py`` analogue).
+
+Encodes a generated test corpus under several configs (default / oracle
+single-stream / fixed-only / experimental direct-MSE), measures wall time
+and sizes, verifies every output decodes sample-exact through the
+independent parser, and emits a markdown report mirroring the reference's
+`report/report.*.md` format (average compression rate + inverse RTF).
+
+Usage: python tools/reporter.py [-o report.md] [--seconds 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from flacenc_tpu import config
+from flacenc_tpu.component import decode_stream, parse_stream
+from flacenc_tpu.source import MemSource
+
+
+def make_corpus(seconds: float, rate: int = 44100):
+    """Four synthetic stereo programs with different spectral character."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import make_audio
+
+    n = int(seconds * rate)
+    rng = np.random.default_rng(7)
+    corpus = {}
+    corpus["tonal"] = make_audio(seconds, rate)
+    t = np.arange(n) / rate
+    # noisy percussive-ish
+    env = (np.sin(2 * np.pi * 2.1 * t) ** 8)
+    noise = rng.standard_normal(n) * env * 0.4
+    x = np.clip(np.round(noise * 26000), -32768, 32767).astype(np.int32)
+    interleaved = np.empty(2 * n, np.int32)
+    interleaved[0::2] = x
+    interleaved[1::2] = np.roll(x, 17)
+    corpus["percussive"] = interleaved
+    # quiet ambient
+    amb = (
+        0.05 * np.sin(2 * np.pi * 55 * t)
+        + 0.02 * np.sin(2 * np.pi * 110.3 * t)
+        + 0.001 * rng.standard_normal(n)
+    )
+    x = np.clip(np.round(amb * 32000), -32768, 32767).astype(np.int32)
+    interleaved = np.empty(2 * n, np.int32)
+    interleaved[0::2] = x
+    interleaved[1::2] = x + rng.integers(-2, 3, n)
+    corpus["ambient"] = interleaved
+    # near-silence with clicks
+    x = np.zeros(n, np.int32)
+    idx = rng.integers(0, n, 50)
+    x[idx] = rng.integers(-30000, 30000, 50)
+    interleaved = np.empty(2 * n, np.int32)
+    interleaved[0::2] = x
+    interleaved[1::2] = x
+    corpus["sparse"] = interleaved
+    return corpus
+
+
+def encoder_configs():
+    cfgs = {}
+    cfgs["default"] = (config.Encoder(), True)
+    cfgs["st (oracle, scalar)"] = (config.Encoder(), False)
+    c = config.Encoder()
+    c.subframe_coding.use_lpc = False
+    cfgs["fixed-only"] = (c, True)
+    c = config.Encoder()
+    c.subframe_coding.qlpc.use_direct_mse = True
+    cfgs["experimental (direct-MSE)"] = (c, True)
+    return cfgs
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-o", "--output", default="report/report.md")
+    ap.add_argument("--seconds", type=float, default=20.0)
+    args = ap.parse_args()
+
+    import flacenc_tpu
+
+    rate = 44100
+    corpus = make_corpus(args.seconds, rate)
+    rows = []
+    for name, (cfg, use_tpu) in encoder_configs().items():
+        verified = cfg.into_verified()
+        total_in = total_out = 0
+        total_audio_s = total_wall = 0.0
+        for cname, interleaved in corpus.items():
+            src = MemSource(interleaved, 2, 16, rate)
+            t0 = time.perf_counter()
+            stream = flacenc_tpu.encode_with_fixed_block_size(
+                verified, src, cfg.block_size, use_tpu=use_tpu
+            )
+            data = stream.to_bytes()
+            wall = time.perf_counter() - t0
+            decoded = decode_stream(parse_stream(data))
+            assert np.array_equal(decoded, interleaved), f"{name}/{cname} not lossless"
+            total_in += len(interleaved) * 2
+            total_out += len(data)
+            total_audio_s += len(interleaved) / 2 / rate
+            total_wall += wall
+        rows.append(
+            (name, total_out / total_in, total_audio_s / total_wall)
+        )
+        print(f"{name}: rate={rows[-1][1]:.5f} irtf={rows[-1][2]:.1f}x", flush=True)
+
+    os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+    with open(args.output, "w") as f:
+        f.write("# flacenc-tpu benchmark report\n\n")
+        f.write(f"Corpus: {len(corpus)} synthetic stereo programs, ")
+        f.write(f"{args.seconds:.0f}s each, 16-bit/44.1kHz. All outputs verified\n")
+        f.write("sample-exact through the CRC-checking parser.\n\n")
+        f.write("## Average compression rate (output/input, lower is better)\n\n")
+        f.write("| config | rate |\n|---|---|\n")
+        for name, rate_, _ in rows:
+            f.write(f"| {name} | {rate_:.5f} |\n")
+        f.write("\n## Encode speed (inverse RTF, higher is better)\n\n")
+        f.write("| config | x realtime |\n|---|---|\n")
+        for name, _, irtf in rows:
+            f.write(f"| {name} | {irtf:.1f} |\n")
+    print(f"wrote {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
