@@ -18,6 +18,7 @@ import time
 import numpy as np
 
 from . import config as config_mod
+from . import display
 from .component import decode_stream, parse_stream
 from .errors import FlacencError
 from .source import MemSource, samples_to_le_bytes
@@ -105,12 +106,8 @@ def main_enc(args) -> int:
             f.write(cfg.to_toml())
     n = len(samples) // channels
     in_bytes = len(samples) * (bits // 8)
-    rtf = (n / rate) / elapsed if elapsed > 0 else float("inf")
-    print(
-        f"encoded {args.source} -> {args.output}: "
-        f"{len(data)} bytes ({len(data)/in_bytes:.4f} of input), "
-        f"{rtf:.1f}x realtime",
-        file=sys.stderr,
+    display.progress_encoded(
+        args.source, args.output, in_bytes, len(data), n / rate, elapsed
     )
     return 0
 
@@ -124,18 +121,19 @@ def main_dec(args) -> int:
             json.dump(_stream_struct(stream), f, indent=1)
     decoded = decode_stream(stream)
     info = stream.stream_info()
+    md5_ok = True
     if not args.no_verify:
         md5 = hashlib.md5(
             samples_to_le_bytes(decoded, -(-info.bits_per_sample // 8))
         ).digest()
-        if info.md5 != bytes(16) and md5 != info.md5:
-            print("MD5 verification FAILED", file=sys.stderr)
-            return EX_DATAERR
+        md5_ok = info.md5 == bytes(16) or md5 == info.md5
     write_wav(
         args.output, decoded, info.channels, info.bits_per_sample, info.sample_rate
     )
-    print(f"decoded {args.source} -> {args.output}", file=sys.stderr)
-    return 0
+    display.progress_decoded(
+        args.source, args.output, len(decoded) // max(info.channels, 1), md5_ok
+    )
+    return 0 if md5_ok else EX_DATAERR
 
 
 def main(argv=None) -> int:
@@ -144,16 +142,17 @@ def main(argv=None) -> int:
     if argv and argv[0] not in ("encode", "decode", "-h", "--help"):
         argv.insert(0, "encode")
     args = _build_parser().parse_args(argv)
+    display.banner()
     if args.command is None:
         _build_parser().print_help()
         return EX_USAGE
     try:
         return main_enc(args) if args.command == "encode" else main_dec(args)
     except FileNotFoundError as e:
-        print(f"error: {e}", file=sys.stderr)
+        display.error(str(e))
         return EX_IOERR
     except FlacencError as e:
-        print(f"error: {e}", file=sys.stderr)
+        display.error(str(e))
         return EX_DATAERR
 
 

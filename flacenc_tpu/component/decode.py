@@ -32,18 +32,33 @@ FIXED_LPC_COEFS = [
 
 
 def decode_lpc(warm_up: np.ndarray, coefs: List[int], shift: int, residual) -> np.ndarray:
-    """Shared fixed/QLPC synthesis (decode.rs:159-177)."""
-    errors = residual.decode().astype(np.int64)
+    """Shared fixed/QLPC synthesis (decode.rs:159-177).
+
+    Uses the native C++ IIR when available (the synthesis recursion is
+    inherently sequential); falls back to the scalar Python loop.
+    """
+    errors = residual.decode()
     n = residual.block_size
-    out = np.zeros(n, dtype=np.int64)
     order = len(coefs)
+    from .. import native
+
+    fast = native.lpc_synthesis(
+        np.asarray(warm_up[:order], np.int32),
+        np.asarray(coefs, np.int32),
+        shift,
+        errors,
+    )
+    if fast is not None:
+        return fast
+    out = np.zeros(n, dtype=np.int64)
     out[:order] = np.asarray(warm_up[:order], dtype=np.int64)
     c = np.asarray(coefs, dtype=np.int64)
+    err = errors.astype(np.int64)
     for t in range(order, n):
         pred = 0
         for k in range(order):
             pred += c[k] * out[t - 1 - k]
-        out[t] = (pred >> shift) + errors[t]
+        out[t] = (pred >> shift) + err[t]
     return out.astype(np.int32)
 
 

@@ -715,37 +715,47 @@ def encode_with_fixed_block_size(
         )
         N = all_blocks.shape[0]
 
-        # double-buffered dispatch (the FRAMEBUF_MULTIPLICITY=2 analogue,
-        # constant.rs:103): keep a bounded number of device batches in
-        # flight; JAX dispatch is async, so host packing of batch i overlaps
-        # device compute of batch i+1.
+        # pipelined dispatch (the FRAMEBUF_MULTIPLICITY=2 analogue,
+        # constant.rs:103): device dispatch is async, device->host fetches
+        # run on a background thread (overlapping the next batch's upload +
+        # execute on transports where copy_to_host_async is a no-op), and
+        # the main thread packs. Bounded depth caps memory.
+        import concurrent.futures
+
         in_flight: List[tuple] = []
         depth = constants.par.FRAMEBUF_MULTIPLICITY
+        fetch_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+
+        def start_fetch(enc):
+            if isinstance(enc, DevicePackedEncoded):
+                return None  # devicepacked assembly manages its own fetches
+            return fetch_pool.submit(
+                lambda: DeviceEncoded(**jax.device_get(enc._asdict()))
+            )
 
         def drain_one():
-            enc, chunk, nums, n_valid = in_flight.pop(0)
+            enc, fut, chunk, nums, n_valid = in_flight.pop(0)
+            if fut is not None:
+                enc = fut.result()
             batch_frames = assemble(enc, chunk, nums, cfg, nch, bps, rate, block_size)
             frames.extend(batch_frames[:n_valid])
 
-        for start in range(0, N, batch_size):
-            chunk = _bucket_pad(all_blocks[start : start + batch_size], batch_size)
-            n_valid = min(N - start, batch_size)
-            up = chunk.astype(np.int16) if bps <= 16 else chunk
-            enc = fn(jnp.asarray(up))
-            fetch_fields = (
-                enc._asdict().items() if not isinstance(enc, DevicePackedEncoded)
-                else [kv for kv in enc._asdict().items() if kv[0] != "words"]
-            )
-            for _, arr in fetch_fields:  # start device->host copies early
-                try:
-                    arr.copy_to_host_async()
-                except Exception:
-                    pass
-            in_flight.append((enc, chunk, np.arange(start, start + chunk.shape[0]), n_valid))
-            if len(in_flight) >= depth:
+        try:
+            for start in range(0, N, batch_size):
+                chunk = _bucket_pad(all_blocks[start : start + batch_size], batch_size)
+                n_valid = min(N - start, batch_size)
+                up = chunk.astype(np.int16) if bps <= 16 else chunk
+                enc = fn(jnp.asarray(up))
+                fut = start_fetch(enc)
+                in_flight.append(
+                    (enc, fut, chunk, np.arange(start, start + chunk.shape[0]), n_valid)
+                )
+                if len(in_flight) >= depth:
+                    drain_one()
+            while in_flight:
                 drain_one()
-        while in_flight:
-            drain_one()
+        finally:
+            fetch_pool.shutdown(wait=False)
 
     if tail is not None:
         fb = FrameBuf(nch, tail.shape[1])

@@ -186,3 +186,30 @@ def pack_frames_from_device_payload(
     )
     assert total >= 0, "native packer capacity exceeded"
     return out[:total].tobytes(), sizes
+
+
+def lpc_synthesis(
+    warm_up: np.ndarray, coefs: np.ndarray, shift: int, residual: np.ndarray
+) -> Optional[np.ndarray]:
+    """C++ IIR synthesis for the decoder; None when the lib is missing."""
+    lib = _load()
+    if lib is None:
+        return None
+    if getattr(lib.flacenc_lpc_synthesis, "argtypes", None) is None:
+        lib.flacenc_lpc_synthesis.restype = None
+        lib.flacenc_lpc_synthesis.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+    n = len(residual)
+    order = len(coefs)
+    out = np.zeros(n, dtype=np.int32)
+    out[:order] = np.asarray(warm_up[:order], np.int32)
+    res = np.ascontiguousarray(residual, np.int32)
+    cfs = np.ascontiguousarray(coefs, np.int32)
+    lib.flacenc_lpc_synthesis(
+        _ptr(out, ctypes.c_int32), _ptr(res, ctypes.c_int32),
+        _ptr(cfs, ctypes.c_int32), order, shift, n,
+    )
+    return out

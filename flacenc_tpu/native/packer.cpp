@@ -352,3 +352,21 @@ int64_t flacenc_pack_frames_device(
 
 
 }  // extern "C"
+
+extern "C" {
+
+// LPC/fixed synthesis for the decoder (decode.rs:159-177):
+// out[t] = ((sum_k c[k] * out[t-1-k]) >> shift) + residual[t], t >= order.
+// out[0..order) must be pre-filled with warm-up samples.
+void flacenc_lpc_synthesis(
+    int32_t* out, const int32_t* residual, const int32_t* coefs,
+    int32_t order, int32_t shift, int32_t n) {
+    for (int t = order; t < n; ++t) {
+        int64_t acc = 0;
+        for (int k = 0; k < order; ++k)
+            acc += (int64_t)coefs[k] * (int64_t)out[t - 1 - k];
+        out[t] = (int32_t)((acc >> shift) + (int64_t)residual[t]);
+    }
+}
+
+}  // extern "C"

@@ -74,3 +74,90 @@ def write_wav(path: str, interleaved: np.ndarray, channels: int, bits: int, rate
         f.write(b"data")
         f.write(struct.pack("<I", len(payload)))
         f.write(payload)
+
+
+class WavFileSource:
+    """Streaming WAV source (Source + Seekable analogue,
+    flacenc-bin/src/source.rs:54-133 and source.rs:499-538): parses the
+    header once, then reads PCM in block-sized chunks from disk."""
+
+    def __init__(self, path: str) -> None:
+        from .errors import SourceError
+
+        self._path = path
+        self._f = open(path, "rb")
+        riff = self._f.read(12)
+        if len(riff) < 12 or riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+            raise SourceError(SourceError.INVALID_FORMAT, path)
+        self._data_start = None
+        self._data_len = 0
+        fmt = None
+        while True:
+            head = self._f.read(8)
+            if len(head) < 8:
+                break
+            tag, size = head[:4], struct.unpack("<I", head[4:])[0]
+            if tag == b"fmt ":
+                fmt = self._f.read(size + (size & 1))
+            elif tag == b"data":
+                self._data_start = self._f.tell()
+                self._data_len = size
+                self._f.seek(size + (size & 1), 1)
+            else:
+                self._f.seek(size + (size & 1), 1)
+        if fmt is None or self._data_start is None:
+            raise SourceError(SourceError.INVALID_FORMAT, path)
+        audio_format, self._channels, self._rate, _, _, self._bits = struct.unpack(
+            "<HHIIHH", fmt[:16]
+        )
+        if audio_format == 0xFFFE and len(fmt) >= 26:
+            audio_format = struct.unpack("<H", fmt[24:26])[0]
+        if audio_format != 1:
+            raise SourceError(SourceError.UNSUPPORTED_FORMAT, path)
+        self._bytes_per_sample = self._bits // 8
+        self._pos = 0  # bytes consumed within data chunk
+        self._f.seek(self._data_start)
+
+    def channels(self) -> int:
+        return self._channels
+
+    def bits_per_sample(self) -> int:
+        return self._bits
+
+    def sample_rate(self) -> int:
+        return self._rate
+
+    def len_hint(self):
+        return self._data_len // (self._bytes_per_sample * self._channels)
+
+    # Seekable analogue (source.rs:499-538)
+    def seek_samples(self, n: int) -> None:
+        byte = n * self._bytes_per_sample * self._channels
+        assert byte <= self._data_len
+        self._pos = byte
+        self._f.seek(self._data_start + byte)
+
+    def read_samples(self, block_size: int, dest) -> int:
+        framebuf, context = dest if isinstance(dest, tuple) else (dest, None)
+        want = block_size * self._channels * self._bytes_per_sample
+        remaining = self._data_len - self._pos
+        raw = self._f.read(min(want, remaining))
+        if not raw:
+            return 0
+        self._pos += len(raw)
+        if self._bits == 8:
+            samples = (
+                np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
+            )
+        else:
+            samples = le_bytes_to_samples(raw, self._bytes_per_sample)
+        framebuf.fill_interleaved(samples)
+        if context is not None:
+            if self._bits == 8:
+                context.fill_interleaved(samples)
+            else:
+                context.fill_le_bytes(raw, self._bytes_per_sample)
+        return len(samples) // self._channels
+
+    def close(self) -> None:
+        self._f.close()

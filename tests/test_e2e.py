@@ -83,7 +83,7 @@ def test_integrity_configs(name):
     integrity_test(cfg, interleaved, 2, 16, 44100, 4096)
 
 
-@pytest.mark.parametrize("bps", [8, 16, 24])
+@pytest.mark.parametrize("bps", [8, 12, 16, 20, 24])
 def test_integrity_bits_per_sample(bps):
     interleaved = make_signal(2, 3000, bps)
     integrity_test(config.Encoder(), interleaved, 2, bps, 44100, 1024)
