@@ -34,17 +34,42 @@ def _libm_cosf():
         return None
 
 
+@functools.cache
+def _libm_sinf():
+    try:
+        libm = ctypes.CDLL(ctypes.util.find_library("m") or "libm.so.6")
+        sinf = libm.sinf
+        sinf.restype = ctypes.c_float
+        sinf.argtypes = [ctypes.c_float]
+        return sinf
+    except OSError:  # pragma: no cover
+        return None
+
+
+def _libm_map(fn, x: np.ndarray) -> np.ndarray:
+    out = np.empty(x.shape, dtype=np.float32)
+    flat_in = x.ravel()
+    flat_out = out.ravel()
+    for i in range(flat_in.size):
+        flat_out[i] = fn(ctypes.c_float(float(flat_in[i])))
+    return out
+
+
 def _cosf(x: np.ndarray) -> np.ndarray:
     """Elementwise f32 cosine via libm cosf (fallback: numpy cos)."""
     cosf = _libm_cosf()
     if cosf is None:  # pragma: no cover
         return np.cos(x, dtype=np.float32)
-    out = np.empty(x.shape, dtype=np.float32)
-    flat_in = x.ravel()
-    flat_out = out.ravel()
-    for i in range(flat_in.size):
-        flat_out[i] = cosf(ctypes.c_float(float(flat_in[i])))
-    return out
+    return _libm_map(cosf, x)
+
+
+def sinf(x: np.ndarray) -> np.ndarray:
+    """Elementwise f32 sine via libm sinf — the same function Rust's
+    f32::sin lowers to, for bit-exact sigen fixtures."""
+    f = _libm_sinf()
+    if f is None:  # pragma: no cover
+        return np.sin(x, dtype=np.float32)
+    return _libm_map(f, x)
 
 
 def window_weights(win: Window, length: int) -> np.ndarray:

@@ -2,8 +2,9 @@
 
 Mirrors ``/root/reference/src/sigen.rs``: composable Dc/Sine/Square/Noise
 generators with mix/clip/concat decorators and ``to_vec_quantized``. Noise
-uses a seeded numpy Generator (the reference uses rand's StdRng/ChaCha12;
-sequences differ but the statistical contract and API match).
+reproduces the reference's rand StdRng (ChaCha12) + Open01 sampling
+bit-for-bit (utils/stdrng.py), so seeded fixtures match the reference's
+test signals exactly.
 """
 
 from __future__ import annotations
@@ -67,9 +68,14 @@ class Sine(Signal):
         return Sine(period, amplitude, initial_phase)
 
     def fill_buffer(self, sample_offset: int, dest: np.ndarray) -> None:
+        from .ops.windows import sinf
+
+        # f32 chain mirrors sigen.rs:160-167: phase + 2*PI * t / period,
+        # evaluated with libm sinf (what Rust f32::sin lowers to)
         t = np.arange(sample_offset, sample_offset + len(dest), dtype=np.float32)
-        arg = self.initial_phase + np.float32(2.0 * math.pi) * t / np.float32(self.period)
-        dest[:] = self.amplitude * np.sin(arg, dtype=np.float32)
+        two_pi = np.float32(2.0) * np.float32(math.pi)
+        arg = self.initial_phase + two_pi * t / np.float32(self.period)
+        dest[:] = self.amplitude * sinf(arg)
 
 
 class Square(Signal):
@@ -94,10 +100,10 @@ class Noise(Signal):
         return Noise(amplitude, seed0=seed0)
 
     def fill_buffer(self, sample_offset: int, dest: np.ndarray) -> None:
-        rng = np.random.Generator(
-            np.random.Philox((self.seed0 + sample_offset) & 0xFFFFFFFFFFFFFFFF)
-        )
-        u = rng.random(len(dest), dtype=np.float32)  # [0, 1)
+        from .utils.stdrng import StdRng
+
+        rng = StdRng((self.seed0 + sample_offset) & 0xFFFFFFFFFFFFFFFF)
+        u = rng.open01_f32(len(dest))  # rand Open01, (0, 1)
         dest[:] = self.amplitude * np.float32(2.0) * (u - np.float32(0.5))
 
 
