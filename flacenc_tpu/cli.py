@@ -45,6 +45,11 @@ def _build_parser() -> argparse.ArgumentParser:
         "--cpu-only", action="store_true",
         help="use the scalar reference encoder instead of the TPU pipeline",
     )
+    enc.add_argument(
+        "--strict-float", action="store_true",
+        help="exact stable-reference float semantics for QLPC estimation "
+             "(byte-identical streams to flacenc-rs stable builds)",
+    )
 
     dec = sub.add_parser("decode", help="decode FLAC to WAV (experimental)")
     dec.add_argument("source", help="input FLAC file")
@@ -94,6 +99,10 @@ def main_enc(args) -> int:
     samples, channels, bits, rate = read_wav(args.source)
     src = MemSource(samples, channels, bits, rate)
     t0 = time.perf_counter()
+    import os as _os
+
+    if args.strict_float:
+        _os.environ["FLACENC_STRICT_LPC"] = "1"
     stream = flacenc_tpu.encode_with_fixed_block_size(
         verified, src, cfg.block_size, use_tpu=not args.cpu_only
     )

@@ -92,7 +92,7 @@ class DevicePackedEncoded(NamedTuple):
     words: jnp.ndarray        # (B, C, W) uint32 packed payload (on device)
 
 
-def _subframe_candidates(cfg, sig, bps_k, block_size, window):
+def _subframe_candidates(cfg, sig, bps_k, block_size, window, ext_qlpc=None):
     """Evaluate all predictor candidates for candidate channels.
 
     sig: (B, K, T) int32; bps_k: (K,) static bits-per-sample per candidate.
@@ -173,9 +173,32 @@ def _subframe_candidates(cfg, sig, bps_k, block_size, window):
 
     # ---- QLPC (coding.rs:360-381) ----
     if sub.use_lpc and not too_short:
-        win = ops_lpc.apply_window(sig, window)
+        if ext_qlpc is not None:
+            # strict mode: quantized parameters were computed host-side with
+            # exact stable-reference float semantics (native strict_qlpc)
+            qcoefs, q_order, q_shift = ext_qlpc
+            lpc_err = ops_lpc.compute_error(qcoefs, q_order, q_shift, sig)
+            lpc_rice = ops_rice.find_partitioned_rice_parameters(
+                lpc_err, q_order, T, max_p
+            )
+            lpc_bits = (
+                8
+                + bps_v * q_order.astype(jnp.int64)
+                + 4
+                + 5
+                + sub.qlpc.quant_precision * q_order.astype(jnp.int64)
+                + ops_rice.residual_count_bits(lpc_rice)
+            )
+            skip_estimation = True
+        else:
+            skip_estimation = False
+        win = None
+        if not skip_estimation:
+            win = ops_lpc.apply_window(sig, window)
         # estimation method dispatch (coding.rs:333-351)
-        if sub.qlpc.use_direct_mse:
+        if skip_estimation:
+            pass
+        elif sub.qlpc.use_direct_mse:
             if sub.qlpc.mae_optimization_steps > 0:
                 coefs = ops_lpc.lpc_irls_mae(
                     sig, win, sub.qlpc.lpc_order, sub.qlpc.mae_optimization_steps
@@ -185,19 +208,22 @@ def _subframe_candidates(cfg, sig, bps_k, block_size, window):
         else:
             corr = ops_lpc.auto_correlation(win, sub.qlpc.lpc_order)
             coefs = ops_lpc.levinson(corr, sub.qlpc.lpc_order)
-        qcoefs, q_order, q_shift = ops_lpc.quantize_parameters(
-            coefs, sub.qlpc.quant_precision
-        )
-        lpc_err = ops_lpc.compute_error(qcoefs, q_order, q_shift, sig)
-        lpc_rice = ops_rice.find_partitioned_rice_parameters(lpc_err, q_order, T, max_p)
-        lpc_bits = (
-            8
-            + bps_v * q_order.astype(jnp.int64)
-            + 4
-            + 5
-            + sub.qlpc.quant_precision * q_order.astype(jnp.int64)
-            + ops_rice.residual_count_bits(lpc_rice)
-        )
+        if not skip_estimation:
+            qcoefs, q_order, q_shift = ops_lpc.quantize_parameters(
+                coefs, sub.qlpc.quant_precision
+            )
+            lpc_err = ops_lpc.compute_error(qcoefs, q_order, q_shift, sig)
+            lpc_rice = ops_rice.find_partitioned_rice_parameters(
+                lpc_err, q_order, T, max_p
+            )
+            lpc_bits = (
+                8
+                + bps_v * q_order.astype(jnp.int64)
+                + 4
+                + 5
+                + sub.qlpc.quant_precision * q_order.astype(jnp.int64)
+                + ops_rice.residual_count_bits(lpc_rice)
+            )
     else:
         qcoefs = jnp.zeros((B, K, ops_lpc.MAX_LPC_ORDER), jnp.int32)
         q_order, q_shift = zero_i, zero_i
@@ -252,6 +278,7 @@ def build_encoder_fn(
     bps: int,
     block_size: int,
     device_pack: bool = False,
+    strict_lpc: bool = False,
 ):
     """Builds the jitted device program for one (config, C, bps, T) combo.
 
@@ -261,7 +288,7 @@ def build_encoder_fn(
     window = get_window(cfg.subframe_coding.qlpc.window, block_size)
     stereo = nchannels == 2
 
-    def encode_batch(blocks: jnp.ndarray) -> DeviceEncoded:
+    def encode_batch(blocks: jnp.ndarray, *ext) -> DeviceEncoded:
         B, C, T = blocks.shape
         blocks = blocks.astype(jnp.int32)  # accepts int16 uploads (bps<=16)
         if stereo:
@@ -277,7 +304,10 @@ def build_encoder_fn(
             cand = blocks
             bps_k = [bps] * C
 
-        res = _subframe_candidates(cfg, cand, bps_k, block_size, window)
+        res = _subframe_candidates(
+            cfg, cand, bps_k, block_size, window,
+            ext_qlpc=ext if strict_lpc else None,
+        )
 
         if stereo:
             bits = res["sf_bits"]  # (B, 4)
@@ -562,9 +592,42 @@ def _bucket_pad(chunk: np.ndarray, batch_size: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=32)
-def _cached_encoder_fn(cfg_key, nchannels, bps, block_size, device_pack=False):
+def _cached_encoder_fn(cfg_key, nchannels, bps, block_size, device_pack=False,
+                       strict_lpc=False):
     cfg = config_mod.Encoder.from_toml(cfg_key)
-    return build_encoder_fn(cfg, nchannels, bps, block_size, device_pack)
+    return build_encoder_fn(
+        cfg, nchannels, bps, block_size, device_pack, strict_lpc
+    )
+
+
+def _candidate_signals(chunk: np.ndarray, nchannels: int) -> np.ndarray:
+    """Host-side candidate channels (L, R, M, S for stereo)."""
+    if nchannels != 2:
+        return chunk
+    l = chunk[:, 0].astype(np.int64)
+    r = chunk[:, 1].astype(np.int64)
+    return np.stack(
+        [chunk[:, 0], chunk[:, 1],
+         ((l + r) >> 1).astype(np.int32), (l - r).astype(np.int32)],
+        axis=1,
+    )
+
+
+def _strict_qlpc_arrays(chunk: np.ndarray, cfg, nchannels: int, window):
+    """Exact stable-reference QLPC params for every candidate channel."""
+    from .. import native
+
+    cand = _candidate_signals(chunk, nchannels)
+    B, K, T = cand.shape
+    q, o, sh = native.strict_qlpc(
+        cand.reshape(B * K, T), window,
+        cfg.subframe_coding.qlpc.lpc_order,
+        cfg.subframe_coding.qlpc.quant_precision,
+    )
+    return (
+        q.reshape(B, K, 24), o.reshape(B, K).astype(np.int32),
+        sh.reshape(B, K).astype(np.int32),
+    )
 
 
 _COMPACT_BUCKET_WORDS = 1 << 18  # 1 MiB download granularity
@@ -658,13 +721,23 @@ def encode_with_fixed_block_size(
     block_size: int,
     batch_size: int = DEFAULT_BATCH,
     packer: str = "auto",
+    strict_lpc: Optional[bool] = None,
 ) -> "Stream":
     """Batched TPU stream encoder (public entry).
 
     Full blocks run through the device pipeline in batches; the ragged tail
     block (if any) is encoded by the scalar oracle so that device programs
     stay shape-static (DESIGN.md "tail handling").
+
+    `strict_lpc` (or env FLACENC_STRICT_LPC=1) computes QLPC coefficients
+    host-side with exact stable-reference float semantics (sequential-FMA
+    f64; native strict_qlpc) so streams are byte-identical to the
+    reference's stable build for matching configs.
     """
+    import os as _os
+
+    if strict_lpc is None:
+        strict_lpc = _os.environ.get("FLACENC_STRICT_LPC", "") == "1"
     from ..component.datatype import Stream
 
     cfg = config.inner if isinstance(config, Verified) else config
@@ -711,7 +784,11 @@ def encode_with_fixed_block_size(
             "python": frames_from_device,
         }[packer]
         fn = _cached_encoder_fn(
-            cfg.to_toml(), nch, bps, block_size, packer == "device"
+            cfg.to_toml(), nch, bps, block_size, packer == "device", strict_lpc
+        )
+        strict_window = (
+            get_window(cfg.subframe_coding.qlpc.window, block_size)
+            if strict_lpc else None
         )
         N = all_blocks.shape[0]
 
@@ -745,7 +822,12 @@ def encode_with_fixed_block_size(
                 chunk = _bucket_pad(all_blocks[start : start + batch_size], batch_size)
                 n_valid = min(N - start, batch_size)
                 up = chunk.astype(np.int16) if bps <= 16 else chunk
-                enc = fn(jnp.asarray(up))
+                if strict_lpc:
+                    eq, eo, es = _strict_qlpc_arrays(chunk, cfg, nch, strict_window)
+                    enc = fn(jnp.asarray(up), jnp.asarray(eq), jnp.asarray(eo),
+                             jnp.asarray(es))
+                else:
+                    enc = fn(jnp.asarray(up))
                 fut = start_fetch(enc)
                 in_flight.append(
                     (enc, fut, chunk, np.arange(start, start + chunk.shape[0]), n_valid)
@@ -762,7 +844,7 @@ def encode_with_fixed_block_size(
         fb.fill_interleaved(np.ascontiguousarray(tail.T).reshape(-1))
         frames.append(
             reference_encoder.encode_fixed_size_frame(
-                cfg, fb, len(frames), stream.stream_info()
+                cfg, fb, len(frames), stream.stream_info(), strict_lpc=strict_lpc
             )
         )
 

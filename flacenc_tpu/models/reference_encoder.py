@@ -131,10 +131,29 @@ def perform_qlpc(cfg: config_mod.SubFrameCoding, signal: np.ndarray) -> np.ndarr
 
 
 def estimated_qlpc(
-    cfg: config_mod.SubFrameCoding, signal: np.ndarray, bits_per_sample: int
+    cfg: config_mod.SubFrameCoding, signal: np.ndarray, bits_per_sample: int,
+    strict_lpc: bool = False,
 ) -> Lpc:
     """coding.rs:360-381."""
     lpc_order = cfg.qlpc.lpc_order
+    if strict_lpc and not cfg.qlpc.use_direct_mse:
+        from .. import native
+        from ..ops.windows import get_window
+
+        res = native.strict_qlpc(
+            signal[None, :], get_window(cfg.qlpc.window, len(signal)),
+            lpc_order, cfg.qlpc.quant_precision,
+        )
+        if res is not None:
+            q, o, sh = res
+            order, shift = int(o[0]), int(sh[0])
+            qcoefs = q[0, :order].astype(np.int16)
+            errors = ref_np.compute_error(qcoefs, shift, signal)
+            residual = encode_residual(cfg.prc, errors, order)
+            params = QuantizedParameters(
+                qcoefs, order, shift, cfg.qlpc.quant_precision
+            )
+            return Lpc(signal[:order], params, residual, bits_per_sample)
     coefs = perform_qlpc(cfg, signal)
     qcoefs, order, shift = ref_np.quantize_parameters(
         coefs[:lpc_order], cfg.qlpc.quant_precision
@@ -146,7 +165,8 @@ def estimated_qlpc(
 
 
 def encode_subframe(
-    cfg: config_mod.SubFrameCoding, samples: np.ndarray, bits_per_sample: int
+    cfg: config_mod.SubFrameCoding, samples: np.ndarray, bits_per_sample: int,
+    strict_lpc: bool = False,
 ) -> SubFrame:
     """Candidate generation + selection (coding.rs:384-418)."""
     if cfg.use_constant and bool((samples == samples[0]).all()):
@@ -163,7 +183,7 @@ def encode_subframe(
     )
     est_lpc = None
     if not too_short and cfg.use_lpc:
-        candidate = estimated_qlpc(cfg, samples, bits_per_sample)
+        candidate = estimated_qlpc(cfg, samples, bits_per_sample, strict_lpc)
         if candidate.count_bits() < baseline_bits:
             est_lpc = candidate
     chosen = est_lpc if est_lpc is not None else fixed
@@ -190,6 +210,7 @@ def encode_frame_impl(
     sample_rate: int,
     bits_per_sample: int,
     ch_info: ChannelAssignment,
+    strict_lpc: bool = False,
 ) -> Frame:
     """coding.rs:421-449 (channels are already stereo-transformed)."""
     block_size = len(channels[0])
@@ -201,6 +222,7 @@ def encode_frame_impl(
                 config.subframe_coding,
                 sig,
                 bits_per_sample + ch_info.bits_per_sample_offset(ch),
+                strict_lpc,
             )
         )
     return Frame(header, subframes)
@@ -212,13 +234,15 @@ def try_stereo_coding(
     indep: Frame,
     sample_rate: int,
     bits_per_sample: int,
+    strict_lpc: bool = False,
 ) -> Frame:
     """Four-way L/R vs L/S vs S/R vs M/S search (coding.rs:469-527)."""
     l, r = channels[0].astype(np.int32), channels[1].astype(np.int32)
     mid = ((l.astype(np.int64) + r.astype(np.int64)) >> 1).astype(np.int32)
     side = (l.astype(np.int64) - r.astype(np.int64)).astype(np.int32)
     ms_frame = encode_frame_impl(
-        config, [mid, side], sample_rate, bits_per_sample, ChannelAssignment.mid_side()
+        config, [mid, side], sample_rate, bits_per_sample,
+        ChannelAssignment.mid_side(), strict_lpc,
     )
     bits_l = indep.subframe(0).count_bits()
     bits_r = indep.subframe(1).count_bits()
@@ -254,14 +278,19 @@ def encode_frame(
     framebuf: FrameBuf,
     sample_rate: int,
     bits_per_sample: int,
+    strict_lpc: bool = False,
 ) -> Frame:
     """coding.rs:530-544."""
     nchannels = framebuf.channels
     channels = [framebuf.channel_slice(ch) for ch in range(nchannels)]
     ch_info = ChannelAssignment.independent(nchannels)
-    ret = encode_frame_impl(config, channels, sample_rate, bits_per_sample, ch_info)
+    ret = encode_frame_impl(
+        config, channels, sample_rate, bits_per_sample, ch_info, strict_lpc
+    )
     if nchannels == 2:
-        ret = try_stereo_coding(config, channels, ret, sample_rate, bits_per_sample)
+        ret = try_stereo_coding(
+            config, channels, ret, sample_rate, bits_per_sample, strict_lpc
+        )
     return ret
 
 
@@ -270,6 +299,7 @@ def encode_fixed_size_frame(
     framebuf: FrameBuf,
     frame_number: int,
     stream_info,
+    strict_lpc: bool = False,
 ) -> Frame:
     """Public per-frame entry point (coding.rs:581-606)."""
     cfg = config.inner if isinstance(config, Verified) else config
@@ -277,7 +307,8 @@ def encode_fixed_size_frame(
         raise RangeError("frame_number", "must fit in 31 bits", frame_number)
     framebuf.verify_samples(stream_info.bits_per_sample)
     frame = encode_frame(
-        cfg, framebuf, stream_info.sample_rate, stream_info.bits_per_sample
+        cfg, framebuf, stream_info.sample_rate, stream_info.bits_per_sample,
+        strict_lpc,
     )
     frame.header_mut().set_frame_number(frame_number)
     return frame

@@ -213,3 +213,38 @@ def lpc_synthesis(
         _ptr(cfs, ctypes.c_int32), order, shift, n,
     )
     return out
+
+
+def strict_qlpc(
+    signals: np.ndarray, window: np.ndarray, lpc_order: int, precision: int
+):
+    """Strict-float QLPC (stable-reference semantics) for N channels.
+
+    signals (N, T) int32, window (T,) float32 ->
+    (qcoefs (N, 24) int32, order (N,) int32, shift (N,) int32).
+    Returns None when the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    if getattr(lib.flacenc_strict_qlpc, "argtypes", None) is None:
+        lib.flacenc_strict_qlpc.restype = None
+        lib.flacenc_strict_qlpc.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+    signals = np.ascontiguousarray(signals, np.int32)
+    window = np.ascontiguousarray(window, np.float32)
+    N, T = signals.shape
+    qcoefs = np.zeros((N, 24), np.int32)
+    order = np.zeros(N, np.int32)
+    shift = np.zeros(N, np.int32)
+    lib.flacenc_strict_qlpc(
+        _ptr(signals, ctypes.c_int32), _ptr(window, ctypes.c_float),
+        N, T, lpc_order, precision,
+        _ptr(qcoefs, ctypes.c_int32), _ptr(order, ctypes.c_int32),
+        _ptr(shift, ctypes.c_int32),
+    )
+    return qcoefs, order, shift

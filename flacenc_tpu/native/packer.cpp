@@ -370,3 +370,125 @@ void flacenc_lpc_synthesis(
 }
 
 }  // extern "C"
+
+#include <cmath>
+
+extern "C" {
+
+// Strict-float QLPC estimation: reproduces the reference's *stable* build
+// float semantics exactly — f32 windowing (lpc.rs:739-756), sequential-FMA
+// f64 autocorrelation (weighted_auto_correlation_nosimd, lpc.rs:533-548),
+// f64 Levinson with mul_add and diagonal-loading retry (lpc.rs:633-705),
+// and ceil(log2)/round-half-away quantization (lpc.rs:234-302). Used by
+// the pipeline's strict mode to produce byte-identical streams to the
+// reference for matching configs.
+void flacenc_strict_qlpc(
+    const int32_t* signal,  // (N, T)
+    const float* window,    // (T,)
+    int32_t N, int32_t T, int32_t lpc_order, int32_t precision,
+    int32_t* qcoefs_out,    // (N, 24)
+    int32_t* order_out,     // (N,)
+    int32_t* shift_out) {   // (N,)
+    const int kMaxOrder = 24;
+    float* w = new float[T];
+    double* corr = new double[lpc_order + 1];
+    double* coefs = new double[lpc_order];
+    double* forward = new double[lpc_order];
+    double* forward_next = new double[lpc_order];
+
+    for (int n = 0; n < N; ++n) {
+        const int32_t* sig = signal + (size_t)n * T;
+        for (int t = 0; t < T; ++t) w[t] = (float)sig[t] * window[t];
+
+        for (int tau = 0; tau <= lpc_order; ++tau) corr[tau] = 0.0;
+        // t-outer, per-lag FMA accumulation (nosimd order)
+        for (int t = lpc_order; t < T; ++t) {
+            const double wy = (double)w[t];
+            for (int tau = 0; tau <= lpc_order; ++tau)
+                corr[tau] = std::fma((double)w[t - tau], wy, corr[tau]);
+        }
+
+        for (int d = 0; d < lpc_order; ++d) coefs[d] = 0.0;
+        if (corr[0] != 0.0) {
+            // symmetric_levinson_recursion<f64> with diagonal loading
+            double loading = 0.0;
+            bool done = false;
+            while (!done) {
+                done = true;
+                for (int d = 0; d < lpc_order; ++d) {
+                    coefs[d] = 0.0;
+                    forward[d] = 0.0;
+                }
+                forward[0] = 1.0 / (corr[0] + loading);
+                coefs[0] = corr[1] / (corr[0] + loading);
+                for (int nn = 1; nn < lpc_order; ++nn) {
+                    double error = 0.0;
+                    for (int d = 0; d < nn; ++d)
+                        error = std::fma(corr[nn - d], forward[d], error);
+                    const double denom = std::fma(error, -error, 1.0);
+                    if (denom == 0.0) {
+                        loading = std::max(1.0, loading + loading);
+                        done = false;
+                        break;
+                    }
+                    const double alpha = 1.0 / denom;
+                    const double beta = -alpha * error;
+                    for (int d = 0; d <= nn; ++d)
+                        forward_next[d] =
+                            std::fma(alpha, forward[d], beta * forward[nn - d]);
+                    for (int d = 0; d <= nn; ++d) forward[d] = forward_next[d];
+                    double delta = 0.0;
+                    for (int d = 0; d < nn; ++d)
+                        delta = std::fma(corr[nn - d], coefs[d], delta);
+                    // ys[nn] = corr[nn + 1]
+                    for (int d = 0; d <= nn; ++d)
+                        coefs[d] = std::fma(corr[nn + 1] - delta,
+                                            forward[nn - d], coefs[d]);
+                }
+            }
+        }
+
+        // quantize_parameters (lpc.rs:273-302)
+        double max_abs = 0.0;
+        for (int d = 0; d < lpc_order; ++d)
+            max_abs = std::max(max_abs, std::fabs(coefs[d]));
+        int abs_log2;
+        if (max_abs == 0.0) {
+            abs_log2 = -32752;
+        } else {
+            double l = std::ceil(std::log2(max_abs));
+            if (l < -32752.0) l = -32752.0;
+            abs_log2 = (int)l;
+        }
+        int shift = (precision - 1) - abs_log2;
+        if (shift < 0) shift = 0;
+        if (shift > 15) shift = 15;
+        const double scale = std::pow(2.0, (double)shift);
+        const int lim_lo = -(1 << (precision - 1));
+        const int lim_hi = (1 << (precision - 1)) - 1;
+        int32_t* qc = qcoefs_out + (size_t)n * kMaxOrder;
+        for (int d = 0; d < kMaxOrder; ++d) qc[d] = 0;
+        for (int d = 0; d < lpc_order; ++d) {
+            double scaled = std::round(coefs[d] * scale);  // half away
+            if (scaled > 32767.0) scaled = 32767.0;
+            if (scaled < -32768.0) scaled = -32768.0;
+            int q = (int)scaled;
+            if (q < lim_lo) q = lim_lo;
+            if (q > lim_hi) q = lim_hi;
+            qc[d] = q;
+        }
+        int order = 0;
+        for (int d = kMaxOrder - 1; d >= 0; --d)
+            if (qc[d] != 0) { order = d + 1; break; }
+        if (order == 0) order = 1;
+        order_out[n] = order;
+        shift_out[n] = shift;
+    }
+    delete[] w;
+    delete[] corr;
+    delete[] coefs;
+    delete[] forward;
+    delete[] forward_next;
+}
+
+}  // extern "C"
