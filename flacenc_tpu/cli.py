@@ -51,6 +51,15 @@ def _build_parser() -> argparse.ArgumentParser:
              "(byte-identical streams to flacenc-rs stable builds)",
     )
 
+    corp = sub.add_parser(
+        "encode-corpus",
+        help="encode many WAVs, batching blocks across files on the device",
+    )
+    corp.add_argument("sources", nargs="+", help="input WAV files")
+    corp.add_argument("-d", "--output-dir", required=True)
+    corp.add_argument("-c", "--config", help="TOML encoder config")
+    corp.add_argument("--block-size", type=int, default=None)
+
     dec = sub.add_parser("decode", help="decode FLAC to WAV (experimental)")
     dec.add_argument("source", help="input FLAC file")
     dec.add_argument("-o", "--output", required=True, help="output WAV file")
@@ -121,6 +130,45 @@ def main_enc(args) -> int:
     return 0
 
 
+def main_corpus(args) -> int:
+    import os
+    import time as _t
+
+    from .parallel import encode_corpus
+    from .wav import WavFileSource
+
+    cfg = config_mod.Encoder()
+    if args.config:
+        with open(args.config) as f:
+            cfg = config_mod.Encoder.from_toml(f.read())
+    if args.block_size:
+        cfg.block_size = args.block_size
+    verified = cfg.into_verified()
+
+    sources = [(path, WavFileSource(path)) for path in args.sources]
+    os.makedirs(args.output_dir, exist_ok=True)
+    t0 = _t.perf_counter()
+    streams, stats = encode_corpus(sources, verified, cfg.block_size)
+    wall = _t.perf_counter() - t0
+    total_in = total_out = 0
+    audio_s = 0.0
+    for path, src in sources:
+        stream = streams[path]
+        data = stream.to_bytes()
+        name = os.path.splitext(os.path.basename(path))[0] + ".flac"
+        with open(os.path.join(args.output_dir, name), "wb") as f:
+            f.write(data)
+        info = stream.stream_info()
+        total_out += len(data)
+        total_in += info.total_samples * info.channels * (info.bits_per_sample // 8)
+        audio_s += info.total_samples / info.sample_rate
+    display.progress_encoded(
+        f"{stats.files} files ({stats.frames} frames, {stats.batches} batches)",
+        args.output_dir, total_in, total_out, audio_s, wall,
+    )
+    return 0
+
+
 def main_dec(args) -> int:
     with open(args.source, "rb") as f:
         data = f.read()
@@ -148,7 +196,7 @@ def main_dec(args) -> int:
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     # default subcommand is `encode` (main.rs:404-418)
-    if argv and argv[0] not in ("encode", "decode", "-h", "--help"):
+    if argv and argv[0] not in ("encode", "encode-corpus", "decode", "-h", "--help"):
         argv.insert(0, "encode")
     args = _build_parser().parse_args(argv)
     display.banner()
@@ -156,7 +204,11 @@ def main(argv=None) -> int:
         _build_parser().print_help()
         return EX_USAGE
     try:
-        return main_enc(args) if args.command == "encode" else main_dec(args)
+        if args.command == "encode":
+            return main_enc(args)
+        if args.command == "encode-corpus":
+            return main_corpus(args)
+        return main_dec(args)
     except FileNotFoundError as e:
         display.error(str(e))
         return EX_IOERR

@@ -93,6 +93,11 @@ def main() -> int:
         verified = cfg.into_verified()
         total_in = total_out = 0
         total_audio_s = total_wall = 0.0
+        # warm up compile + first-execution outside the timed region
+        warm = next(iter(corpus.values()))[: 44100 * 4]
+        flacenc_tpu.encode_with_fixed_block_size(
+            verified, MemSource(warm, 2, 16, rate), cfg.block_size, use_tpu=use_tpu
+        )
         for cname, interleaved in corpus.items():
             src = MemSource(interleaved, 2, 16, rate)
             t0 = time.perf_counter()
