@@ -747,97 +747,104 @@ def encode_with_fixed_block_size(
     stream = Stream(rate, nch, bps)
     context = Context(bps, nch)
 
-    # read every block up front (host RAM; streaming refinement later)
-    framebuf = FrameBuf(nch, block_size)
-    full_blocks: List[np.ndarray] = []
-    tail: Optional[np.ndarray] = None
-    while True:
-        read = src.read_samples(block_size, (framebuf, context))
-        if read == 0:
-            break
-        if read == block_size:
-            full_blocks.append(framebuf.samples.copy())
-        else:
-            tail = framebuf.samples[:, :read].copy()
+    if packer == "auto":
+        from .. import native
 
+        # the C++ host packer wins on both PCIe-attached and tunneled
+        # devices; "device" (on-chip bit packing, ops/pack.py) is kept
+        # as an option for transfer-starved links with fast XLA gathers
+        packer = "native" if native.available() else "python"
+    assemble = {
+        "device": pack_frames_devicepacked,
+        "native": pack_frames_native,
+        "python": frames_from_device,
+    }[packer]
+    strict_window = (
+        get_window(cfg.subframe_coding.qlpc.window, block_size)
+        if strict_lpc else None
+    )
     lo = -(1 << (bps - 1))
     hi = (1 << (bps - 1)) - 1
+
+    # Streaming pipeline: blocks are read batch-by-batch (bounded memory —
+    # only `depth` raw batches plus finished compressed frames are held),
+    # device dispatch is async, device->host fetches run on a background
+    # thread, the main thread packs (FRAMEBUF_MULTIPLICITY analogue,
+    # constant.rs:103).
+    import concurrent.futures
+
     frames: List[Frame] = []
-    if full_blocks:
-        all_blocks = np.stack(full_blocks)  # (N, C, T)
-        if all_blocks.size and (all_blocks.min() < lo or all_blocks.max() > hi):
+    tail: Optional[np.ndarray] = None
+    framebuf = FrameBuf(nch, block_size)
+    in_flight: List[tuple] = []
+    depth = constants.par.FRAMEBUF_MULTIPLICITY
+    fetch_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    fn = None  # built lazily on the first full batch
+
+    def start_fetch(enc):
+        if isinstance(enc, DevicePackedEncoded):
+            return None  # devicepacked assembly manages its own fetches
+        return fetch_pool.submit(
+            lambda: DeviceEncoded(**jax.device_get(enc._asdict()))
+        )
+
+    def drain_one():
+        enc, fut, chunk, nums, n_valid = in_flight.pop(0)
+        if fut is not None:
+            enc = fut.result()
+        batch_frames = assemble(enc, chunk, nums, cfg, nch, bps, rate, block_size)
+        frames.extend(batch_frames[:n_valid])
+
+    def submit(blocks_list: List[np.ndarray], start_num: int):
+        nonlocal fn
+        chunk = _bucket_pad(np.stack(blocks_list), batch_size)
+        if chunk.size and (int(chunk.min()) < lo or int(chunk.max()) > hi):
             from ..errors import VerifyError
 
             raise VerifyError(
                 "framebuf.samples", f"must be in range of {bps}-bit signed ints"
             )
-        if packer == "auto":
-            from .. import native
-
-            # the C++ host packer wins on both PCIe-attached and tunneled
-            # devices; "device" (on-chip bit packing, ops/pack.py) is kept
-            # as an option for transfer-starved links with fast XLA gathers
-            packer = "native" if native.available() else "python"
-        assemble = {
-            "device": pack_frames_devicepacked,
-            "native": pack_frames_native,
-            "python": frames_from_device,
-        }[packer]
-        fn = _cached_encoder_fn(
-            cfg.to_toml(), nch, bps, block_size, packer == "device", strict_lpc
-        )
-        strict_window = (
-            get_window(cfg.subframe_coding.qlpc.window, block_size)
-            if strict_lpc else None
-        )
-        N = all_blocks.shape[0]
-
-        # pipelined dispatch (the FRAMEBUF_MULTIPLICITY=2 analogue,
-        # constant.rs:103): device dispatch is async, device->host fetches
-        # run on a background thread (overlapping the next batch's upload +
-        # execute on transports where copy_to_host_async is a no-op), and
-        # the main thread packs. Bounded depth caps memory.
-        import concurrent.futures
-
-        in_flight: List[tuple] = []
-        depth = constants.par.FRAMEBUF_MULTIPLICITY
-        fetch_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
-
-        def start_fetch(enc):
-            if isinstance(enc, DevicePackedEncoded):
-                return None  # devicepacked assembly manages its own fetches
-            return fetch_pool.submit(
-                lambda: DeviceEncoded(**jax.device_get(enc._asdict()))
+        if fn is None:
+            fn = _cached_encoder_fn(
+                cfg.to_toml(), nch, bps, block_size, packer == "device", strict_lpc
             )
+        up = chunk.astype(np.int16) if bps <= 16 else chunk
+        if strict_lpc:
+            eq, eo, es = _strict_qlpc_arrays(chunk, cfg, nch, strict_window)
+            enc = fn(jnp.asarray(up), jnp.asarray(eq), jnp.asarray(eo),
+                     jnp.asarray(es))
+        else:
+            enc = fn(jnp.asarray(up))
+        fut = start_fetch(enc)
+        in_flight.append(
+            (enc, fut, chunk,
+             np.arange(start_num, start_num + chunk.shape[0]),
+             len(blocks_list))
+        )
+        if len(in_flight) >= depth:
+            drain_one()
 
-        def drain_one():
-            enc, fut, chunk, nums, n_valid = in_flight.pop(0)
-            if fut is not None:
-                enc = fut.result()
-            batch_frames = assemble(enc, chunk, nums, cfg, nch, bps, rate, block_size)
-            frames.extend(batch_frames[:n_valid])
-
-        try:
-            for start in range(0, N, batch_size):
-                chunk = _bucket_pad(all_blocks[start : start + batch_size], batch_size)
-                n_valid = min(N - start, batch_size)
-                up = chunk.astype(np.int16) if bps <= 16 else chunk
-                if strict_lpc:
-                    eq, eo, es = _strict_qlpc_arrays(chunk, cfg, nch, strict_window)
-                    enc = fn(jnp.asarray(up), jnp.asarray(eq), jnp.asarray(eo),
-                             jnp.asarray(es))
-                else:
-                    enc = fn(jnp.asarray(up))
-                fut = start_fetch(enc)
-                in_flight.append(
-                    (enc, fut, chunk, np.arange(start, start + chunk.shape[0]), n_valid)
-                )
-                if len(in_flight) >= depth:
-                    drain_one()
-            while in_flight:
-                drain_one()
-        finally:
-            fetch_pool.shutdown(wait=False)
+    try:
+        pending: List[np.ndarray] = []
+        n_full = 0
+        while True:
+            read = src.read_samples(block_size, (framebuf, context))
+            if read == 0:
+                break
+            if read == block_size:
+                pending.append(framebuf.samples.copy())
+                if len(pending) == batch_size:
+                    submit(pending, n_full)
+                    n_full += batch_size
+                    pending = []
+            else:
+                tail = framebuf.samples[:, :read].copy()
+        if pending:
+            submit(pending, n_full)
+        while in_flight:
+            drain_one()
+    finally:
+        fetch_pool.shutdown(wait=False)
 
     if tail is not None:
         fb = FrameBuf(nch, tail.shape[1])

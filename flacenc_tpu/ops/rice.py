@@ -107,6 +107,11 @@ def _minimize_tables(tables: jnp.ndarray, max_p: int) -> Tuple[jnp.ndarray, jnp.
     return (m & jnp.uint32(0x1F)).astype(jnp.int32), (m >> jnp.uint32(5)).astype(jnp.int64)
 
 
+import os as _os
+
+_USE_PALLAS_TABLES = _os.environ.get("FLACENC_PALLAS_RICE", "") == "1"
+
+
 def find_partitioned_rice_parameters(
     errors: jnp.ndarray,
     warmup: jnp.ndarray,
@@ -118,12 +123,30 @@ def find_partitioned_rice_parameters(
 
     `errors`: (..., T) int32 residuals; `warmup`: (...,) per-element warmup
     length (< MIN_PARTITION_SIZE, so the finest order is static).
+
+    Set FLACENC_PALLAS_RICE=1 to build the finest-level cost tables with
+    the fused Pallas kernel (ops/pallas_rice.py) instead of the 31-pass
+    XLA reduction.
     """
     assert min_partition_warmup_bound <= constants.rice.MIN_PARTITION_SIZE
     finest = finest_partition_order(block_size, constants.rice.MIN_PARTITION_SIZE)
     max_parts = 1 << finest
-    z = encode_signbit(errors)
-    tables = _finest_tables(z, warmup, finest, block_size)
+    if _USE_PALLAS_TABLES and errors.ndim == 3:
+        from . import pallas_rice
+
+        sums = pallas_rice.rice_cost_tables_pallas(
+            errors, warmup.astype(jnp.int32), block_size, finest
+        ).astype(jnp.int64)
+        part_len = block_size // (1 << finest)
+        lens = jnp.full(warmup.shape + (1 << finest,), part_len, dtype=jnp.int64)
+        lens = lens.at[..., 0].add(-warmup.astype(jnp.int64))
+        ps64 = jnp.arange(_N_P, dtype=jnp.int64)
+        tables = jnp.minimum(
+            sums + 4 + lens[..., None] * (ps64 + 1), MAX_P_TO_BITS
+        )
+    else:
+        z = encode_signbit(errors)
+        tables = _finest_tables(z, warmup, finest, block_size)
 
     n_orders = finest + 1
     batch_shape = errors.shape[:-1]
