@@ -14,8 +14,12 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: encoder programs are specialized per
 # (config, block_size, batch) and reused across processes.
+# keyed per requested platform: persistent CPU artifacts compiled under a
+# different host-feature profile can SIGILL if shared across machines
+_platform_tag = os.environ.get("JAX_PLATFORMS", "default").replace(",", "_") or "auto"
 _cache_dir = os.environ.get(
-    "FLACENC_TPU_JAX_CACHE", os.path.expanduser("~/.cache/flacenc_tpu_jax")
+    "FLACENC_TPU_JAX_CACHE",
+    os.path.expanduser(f"~/.cache/flacenc_tpu_jax_{_platform_tag}"),
 )
 try:
     os.makedirs(_cache_dir, exist_ok=True)

@@ -180,6 +180,11 @@ class MemSource(Source):
     def len_hint(self) -> Optional[int]:
         return len(self._samples) // self._channels
 
+    def seek_samples(self, n: int) -> None:
+        """Seekable analogue (source.rs:499-538)."""
+        assert 0 <= n <= (len(self._samples) // self._channels)
+        self._offset = n
+
     def read_samples(self, block_size: int, dest: Tuple[FrameBuf, Context]) -> int:
         framebuf, context = dest if isinstance(dest, tuple) else (dest, None)
         begin = self._offset * self._channels
