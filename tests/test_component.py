@@ -178,3 +178,18 @@ def test_metadata_block_chaining():
     parsed = parse_stream(data)
     assert len(parsed.metadata()) == 2
     assert parsed.metadata()[1].is_last
+
+
+def test_variable_blocking_header_golden():
+    # doctest golden from datatype.rs:1586-1598: block 192, mono, 8-bit,
+    # 44.1kHz, start sample 123456 (variable blocking)
+    header = FrameHeader(
+        BlockSizeSpec.from_size(192),
+        ChannelAssignment.independent(1),
+        SampleSizeSpec.from_bits(8),
+        SampleRateSpec.from_freq(44100),
+    )
+    header.set_start_sample_number(123456)
+    data = header.to_bytes()
+    assert list(data[:8]) == [0xFF, 0xF9, 0x19, 0x02, 0xF0, 0x9E, 0x89, 0x80]
+    bit_count_matches_written(header)
