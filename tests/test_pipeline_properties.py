@@ -1,0 +1,79 @@
+"""Pipeline-level properties: determinism, stats accounting, strict-mode
+consistency on real audio, streaming == all-at-once."""
+
+import os
+
+import numpy as np
+import pytest
+
+from flacenc_tpu import config, sigen, source
+from flacenc_tpu.component import decode_stream, parse_stream
+from flacenc_tpu.models import batch_encoder as be
+from flacenc_tpu.models import reference_encoder as re
+
+
+def _signal(n=5000, bps=16):
+    x = np.zeros(2 * n, np.int32)
+    x[0::2] = sigen.Sine(128, 0.4).noise_with_seed(1, 0.01).to_vec_quantized(bps, n)
+    x[1::2] = sigen.Sine(130, 0.4).noise_with_seed(2, 0.02).to_vec_quantized(bps, n)
+    return x
+
+
+def test_encode_deterministic():
+    x = _signal()
+    cfg = config.Encoder().into_verified()
+    outs = set()
+    for _ in range(2):
+        s = be.encode_with_fixed_block_size(
+            cfg, source.MemSource(x, 2, 16, 44100), 1024
+        )
+        outs.add(s.to_bytes())
+    assert len(outs) == 1, "encoding must be deterministic"
+
+
+def test_small_batch_size_equals_large():
+    # streaming batch boundaries must not affect the stream
+    x = _signal(n=1024 * 5 + 77)
+    cfg = config.Encoder().into_verified()
+    a = be.encode_with_fixed_block_size(
+        cfg, source.MemSource(x, 2, 16, 44100), 1024, batch_size=2
+    ).to_bytes()
+    b = be.encode_with_fixed_block_size(
+        cfg, source.MemSource(x, 2, 16, 44100), 1024, batch_size=64
+    ).to_bytes()
+    assert a == b
+
+
+def test_corpus_stats_accounting():
+    from flacenc_tpu.parallel import encode_corpus
+
+    x1 = _signal(3000)
+    x2 = _signal(1024)
+    streams, stats = encode_corpus(
+        [("a", source.MemSource(x1, 2, 16, 44100)),
+         ("b", source.MemSource(x2, 2, 16, 44100))],
+        config.Encoder().into_verified(), 1024,
+    )
+    assert stats.files == 2
+    assert stats.frames == 3 + 1  # ceil(3000/1024)=3 frames + 1 frame
+    assert stats.tail_frames == 1
+    assert stats.batches >= 1
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/src/resource"),
+    reason="reference resources not mounted",
+)
+def test_strict_mode_real_audio_lossless():
+    from test_real_signals import load_signal
+
+    l = load_signal("ras22", 0)
+    r = load_signal("ras22", 1)
+    x = np.empty(2 * len(l), np.int32)
+    x[0::2] = l
+    x[1::2] = r
+    cfg = config.Encoder().into_verified()
+    s = be.encode_with_fixed_block_size(
+        cfg, source.MemSource(x, 2, 16, 44100), 4096, strict_lpc=True
+    )
+    assert np.array_equal(decode_stream(parse_stream(s.to_bytes())), x)
