@@ -117,6 +117,21 @@ class FrameBuf:
             self.samples[:, n:] = 0
         self.filled = n
 
+    def fill_le_bytes(self, data: bytes, bytes_per_sample: int) -> None:
+        """Fill from little-endian PCM bytes (Fill trait, source.rs:42-111)."""
+        self.fill_interleaved(le_bytes_to_samples(data, bytes_per_sample))
+
+    def fill_stereo_with_iter(self, pairs) -> None:
+        """Fill a stereo buffer from (ch0, ch1) pairs (source.rs:205)."""
+        n = 0
+        for i, (a, b) in enumerate(pairs):
+            self.samples[0, i] = a
+            self.samples[1, i] = b
+            n = i + 1
+        if n < self.block_size:
+            self.samples[:, n:] = 0
+        self.filled = n
+
     def verify_samples(self, bits_per_sample: int) -> None:
         """Range-check samples against bps (source.rs:262-277)."""
         lo = -(1 << (bits_per_sample - 1))

@@ -112,21 +112,72 @@ def one_case(seed: int, max_block: int = 4096, verbose: bool = False) -> None:
         )
 
 
+DEVICE_CONFIGS = None
+
+
+def _device_configs():
+    """Canned configs for device fuzzing (each compiles one program)."""
+    global DEVICE_CONFIGS
+    if DEVICE_CONFIGS is None:
+        cfgs = [config.Encoder()]
+        c = config.Encoder(); c.subframe_coding.use_lpc = False; cfgs.append(c)
+        c = config.Encoder(); c.subframe_coding.fixed.order_sel = config.OrderSel.bit_count(); cfgs.append(c)
+        c = config.Encoder(); c.subframe_coding.qlpc.window = config.Window.rectangle(); c.subframe_coding.qlpc.lpc_order = 4; cfgs.append(c)
+        c = config.Encoder(); c.stereo_coding.use_midside = False; c.subframe_coding.prc.max_parameter = 20; cfgs.append(c)
+        DEVICE_CONFIGS = cfgs
+    return DEVICE_CONFIGS
+
+
+def one_device_case(seed: int, block_size: int = 512) -> None:
+    """Random signal, canned config: device stream must byte-equal the
+    oracle stream (the device<->scalar fuzz tier)."""
+    from flacenc_tpu.models import batch_encoder as be
+
+    rng = np.random.default_rng(seed)
+    cfg = _device_configs()[seed % len(_device_configs())].into_verified()
+    channels = 2 if rng.integers(0, 2) else 1
+    signal_len = int(rng.integers(1, 5 * block_size))
+    bps = 16
+    interleaved = np.zeros(signal_len * channels, dtype=np.int32)
+    for ch in range(channels):
+        interleaved[ch::channels] = random_signal_gen(rng).to_vec_quantized(
+            bps, signal_len
+        )
+    d = be.encode_with_fixed_block_size(
+        cfg, source.MemSource(interleaved, channels, bps, 44100), block_size,
+        batch_size=8,
+    ).to_bytes()
+    r = re.encode_with_fixed_block_size(
+        cfg, source.MemSource(interleaved, channels, bps, 44100), block_size
+    ).to_bytes()
+    assert d == r, f"device/oracle stream mismatch (seed={seed})"
+    assert np.array_equal(decode_stream(parse_stream(d)), interleaved)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--seed", type=int, default=None, help="replay one case")
     ap.add_argument("--max-block", type=int, default=4096)
     ap.add_argument("--start", type=int, default=0)
+    ap.add_argument(
+        "--device", action="store_true",
+        help="fuzz the batched device encoder against the oracle (byte-equal)",
+    )
     args = ap.parse_args()
+    case = (lambda i: one_device_case(i)) if args.device else (
+        lambda i: one_case(i, args.max_block)
+    )
     if args.seed is not None:
-        one_case(args.seed, args.max_block, verbose=True)
+        case(args.seed)
+        print(f"seed {args.seed} ok")
         return 0
     for i in range(args.start, args.start + args.iters):
         try:
-            one_case(i, args.max_block)
+            case(i)
         except Exception:
-            print(f"FUZZ FAILURE at seed={i}; replay: python fuzz/run_fuzz.py --seed {i}")
+            flag = " --device" if args.device else ""
+            print(f"FUZZ FAILURE at seed={i}; replay: python fuzz/run_fuzz.py{flag} --seed {i}")
             raise
         if i % 10 == 0:
             print(f"... {i - args.start + 1}/{args.iters}", flush=True)
