@@ -185,6 +185,19 @@ def parse_frame_header(r: BitReader) -> Tuple[FrameHeader, int]:
 
 
 def parse_residual(r: BitReader, block_size: int, warmup: int) -> Residual:
+    from .. import native
+
+    if native.available():
+        try:
+            res = native.parse_residual(r.data, r.pos, block_size, warmup)
+        except ValueError as e:
+            raise ParseError(str(e))
+        if res is not None:
+            new_pos, order, params, q, rem = res
+            r.pos = new_pos
+            return Residual(
+                order, block_size, warmup, params.astype(np.uint8), q, rem
+            )
     method = r.read(2)
     if method > 1:
         raise ParseError(f"unsupported residual method {method}")

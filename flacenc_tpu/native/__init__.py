@@ -248,3 +248,36 @@ def strict_qlpc(
         _ptr(shift, ctypes.c_int32),
     )
     return qcoefs, order, shift
+
+
+def parse_residual(data: bytes, bit_offset: int, block_size: int, warmup: int):
+    """C++ residual parse; returns (new_offset, order, params, q, r) or
+    None when the native library is unavailable. Raises ValueError on
+    malformed input (matching the Python parser's ParseError conditions)."""
+    lib = _load()
+    if lib is None:
+        return None
+    fn = lib.flacenc_parse_residual
+    if getattr(fn, "argtypes", None) is None:
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+        ]
+    buf = np.frombuffer(data, dtype=np.uint8)
+    order = np.zeros(1, np.int32)
+    params = np.zeros(1 << 15, np.int32)
+    q = np.zeros(block_size, np.uint32)
+    r = np.zeros(block_size, np.uint32)
+    new_pos = fn(
+        _ptr(buf, ctypes.c_uint8), len(data) * 8, bit_offset,
+        block_size, warmup,
+        _ptr(order, ctypes.c_int32), _ptr(params, ctypes.c_int32),
+        _ptr(q, ctypes.c_uint32), _ptr(r, ctypes.c_uint32),
+    )
+    if new_pos < 0:
+        raise ValueError("malformed residual")
+    nparts = 1 << int(order[0])
+    return int(new_pos), int(order[0]), params[:nparts].copy(), q, r

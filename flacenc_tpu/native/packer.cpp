@@ -492,3 +492,98 @@ void flacenc_strict_qlpc(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Residual bitstream parser (parser.rs:633-695): reads method+order,
+// partition params, and every sample's unary quotient + remainder. This is
+// the decoder's hot loop. Returns the new bit offset, or -1 on malformed
+// input (reserved method / escape partitions / out-of-bounds reads).
+int64_t flacenc_parse_residual(
+    const uint8_t* data, int64_t data_bits, int64_t bit_offset,
+    int32_t block_size, int32_t warmup,
+    int32_t* partition_order_out,
+    int32_t* rice_params_out,   // (1 << order) entries filled
+    uint32_t* quotients,        // (block_size,)
+    uint32_t* remainders) {     // (block_size,)
+    int64_t pos = bit_offset;
+
+    auto read_bits = [&](int n) -> int64_t {  // n <= 32; -1 on EOF
+        if (pos + n > data_bits) return -1;
+        uint64_t acc = 0;
+        int64_t byte = pos >> 3;
+        int bit = (int)(pos & 7);
+        int got = 0;
+        // load up to 8 bytes covering the window
+        for (int i = 0; i < 8 && got < n + bit; ++i) {
+            acc = (acc << 8) | data[byte + i];
+            got += 8;
+        }
+        pos += n;
+        return (int64_t)((acc >> (got - bit - n)) & ((n == 64) ? ~0ull : ((1ull << n) - 1)));
+    };
+
+    int64_t method = read_bits(2);
+    if (method < 0 || method > 1) return -1;
+    int64_t order = read_bits(4);
+    if (order < 0) return -1;
+    const int param_bits = method == 1 ? 5 : 4;
+    const int escape = (1 << param_bits) - 1;
+    const int nparts = 1 << order;
+    const int part_len = block_size >> order;
+    if (part_len <= 0 || part_len << order != block_size) return -1;
+    if (part_len < warmup && nparts > 1) return -1;
+
+    int t_end = 0;
+    for (int p = 0; p < nparts; ++p) {
+        int64_t rice_p = read_bits(param_bits);
+        if (rice_p < 0 || rice_p == escape) return -1;
+        rice_params_out[p] = (int32_t)rice_p;
+        int t = (p * part_len > warmup) ? p * part_len : warmup;
+        t_end += part_len;
+        for (; t < t_end; ++t) {
+            // unary quotient: count zeros
+            uint32_t q = 0;
+            for (;;) {
+                if (pos >= data_bits) return -1;
+                // fast path: scan the current byte
+                uint8_t b = data[pos >> 3];
+                int bit = (int)(pos & 7);
+                uint8_t window = (uint8_t)(b << bit);
+                if (window == 0) {
+                    q += 8 - bit;
+                    pos += 8 - bit;
+                    continue;
+                }
+                int lead = __builtin_clz((uint32_t)window) - 24;
+                q += lead;
+                pos += lead + 1;  // consume the stop bit
+                break;
+            }
+            quotients[t] = q;
+            if (rice_p > 0) {
+                int64_t r = read_bits((int)rice_p);
+                if (r < 0) return -1;
+                remainders[t] = (uint32_t)r;
+            } else {
+                remainders[t] = 0;
+            }
+        }
+    }
+    *partition_order_out = (int32_t)order;
+    return pos;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+uint16_t flacenc_crc16(const uint8_t* data, int64_t n) {
+    return crc16_range(data, (size_t)n);
+}
+
+uint8_t flacenc_crc8(const uint8_t* data, int64_t n) {
+    return crc8_range(data, (size_t)n);
+}
+
+}  // extern "C"

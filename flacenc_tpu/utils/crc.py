@@ -35,7 +35,40 @@ _CRC8_TABLE = _make_crc8_table()
 _CRC16_TABLE = _make_crc16_table()
 
 
+def _native_crc():
+    try:
+        from .. import native
+
+        lib = native._load()
+        if lib is None:
+            return None, None
+        import ctypes
+
+        if getattr(lib.flacenc_crc16, "argtypes", None) is None:
+            lib.flacenc_crc16.restype = ctypes.c_uint16
+            lib.flacenc_crc16.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+            lib.flacenc_crc8.restype = ctypes.c_uint8
+            lib.flacenc_crc8.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        return lib.flacenc_crc8, lib.flacenc_crc16
+    except Exception:  # pragma: no cover
+        return None, None
+
+
+_N8, _N16 = None, None
+_NATIVE_TRIED = False
+
+
+def _ensure_native():
+    global _N8, _N16, _NATIVE_TRIED
+    if not _NATIVE_TRIED:
+        _N8, _N16 = _native_crc()
+        _NATIVE_TRIED = True
+
+
 def crc8(data: bytes, init: int = 0) -> int:
+    _ensure_native()
+    if _N8 is not None and init == 0:
+        return int(_N8(bytes(data), len(data)))
     crc = init
     t = _CRC8_TABLE
     for b in data:
@@ -44,6 +77,9 @@ def crc8(data: bytes, init: int = 0) -> int:
 
 
 def crc16(data: bytes, init: int = 0) -> int:
+    _ensure_native()
+    if _N16 is not None and init == 0:
+        return int(_N16(bytes(data), len(data)))
     crc = init
     t = _CRC16_TABLE
     for b in data:
