@@ -318,6 +318,7 @@ def encode_with_fixed_block_size(
     config: Verified[config_mod.Encoder] | config_mod.Encoder,
     src: Source,
     block_size: int,
+    strict_lpc: bool = False,
 ) -> Stream:
     """Single-block-at-a-time stream encoder (coding.rs:645-695).
 
@@ -333,7 +334,8 @@ def encode_with_fixed_block_size(
         if read == 0:
             break
         frame = encode_fixed_size_frame(
-            cfg, framebuf, context.current_frame_number(), stream.stream_info()
+            cfg, framebuf, context.current_frame_number(), stream.stream_info(),
+            strict_lpc=strict_lpc,
         )
         stream.add_frame(frame)
     if stream.frame_count() > 0:
