@@ -49,7 +49,7 @@ def main() -> None:
 
     rate, bps, block = 44100, 16, 4096
     warm_seconds = float(os.environ.get("BENCH_WARM_SECONDS", "8"))
-    seconds = float(os.environ.get("BENCH_SECONDS", "120"))
+    seconds = float(os.environ.get("BENCH_SECONDS", "300"))
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     packer = os.environ.get("BENCH_PACKER", "auto")
     trials = int(os.environ.get("BENCH_TRIALS", "2"))

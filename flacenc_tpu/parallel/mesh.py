@@ -62,3 +62,16 @@ def total_bits_psum(sf_bits: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
         in_specs=P(BLOCK_AXIS, None),
         out_specs=P(),
     )(sf_bits)
+
+
+def shard_corpus(paths: Sequence[str], n_hosts: int, host_id: int) -> list:
+    """Deterministic multi-host corpus sharding (DCN level).
+
+    The reference's par-mode is intra-process; the TPU-native scale-out for
+    corpus encoding is process-level: each host takes a strided shard of
+    the file list (size-agnostic, deterministic, no coordination needed —
+    files are independent) and runs `parallel.encode_corpus` on its local
+    chips. Combine with `jax.distributed.initialize()` in multi-host pods.
+    """
+    assert 0 <= host_id < n_hosts
+    return list(paths[host_id::n_hosts])

@@ -67,3 +67,12 @@ def test_mesh_sharded_encoder_matches_single_device():
     multi = jax.device_get(sharded(blocks)._asdict())
     for k in single:
         np.testing.assert_array_equal(single[k], multi[k], err_msg=k)
+
+
+def test_shard_corpus_partition():
+    from flacenc_tpu.parallel.mesh import shard_corpus
+
+    paths = [f"f{i}" for i in range(10)]
+    shards = [shard_corpus(paths, 3, h) for h in range(3)]
+    assert sorted(sum(shards, [])) == sorted(paths)
+    assert all(len(s) >= 3 for s in shards)
