@@ -37,6 +37,11 @@ class BitSink:
         self._acc = acc & ((1 << nbits) - 1)
         self._nbits = nbits
 
+    def write_msbs(self, value: int, width: int, n: int) -> None:
+        """Write the top `n` bits of a `width`-bit value, MSB first
+        (bitsink.rs write_msbs; width plays the role of the Rust type)."""
+        self.write_lsbs(value >> (width - n), n)
+
     def write_twoc(self, value: int, n: int) -> None:
         """Write `value` as an `n`-bit two's-complement integer."""
         self.write_lsbs(value & ((1 << n) - 1), n)

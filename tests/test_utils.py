@@ -65,3 +65,44 @@ def test_bitsink_bitstring():
     s = BitSink()
     s.write_lsbs(0b0111, 4)
     assert s.to_bitstring() == "0111****"
+
+
+def test_bitsink_msb_goldens():
+    # bitsink.rs:775-793 (bytevec_write_msb)
+    s = BitSink()
+    s.write_msbs(0xFF, 8, 3)
+    s.write_msbs(0x0, 64, 12)
+    s.write_msbs(0xFFFF_FFFF, 32, 9)
+    s.write_msbs(0x0, 16, 8)
+    assert s.to_bitstring() == "11100000_00000001_11111111_00000000"
+
+    s = BitSink()
+    s.write_msbs(0xA0, 8, 3)
+    assert s.to_bitstring() == "101*****"
+
+    s = BitSink()
+    s.write_msbs(0x00, 8, 2)
+    s.write_msbs(0xFF, 8, 3)
+    s.write_msbs(0x00, 8, 2)
+    assert s.to_bitstring() == "0011100*"
+
+
+def test_bitsink_align_semantics():
+    # bitsink.rs:752-764
+    s = BitSink()
+    s.write_lsbs(0x01, 1)
+    s.align_to_byte()
+    assert len(s) == 8
+    s.align_to_byte()
+    assert len(s) == 8
+    s.write_lsbs(0x01, 2)
+    assert len(s) == 10
+    s.align_to_byte()
+    assert len(s) == 16
+
+
+def test_bitsink_twoc_golden():
+    # bitsink.rs:766-772
+    s = BitSink()
+    s.write_twoc(-7, 4)
+    assert s.to_bitstring() == "1001****"
