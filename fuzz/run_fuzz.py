@@ -128,13 +128,16 @@ def _device_configs():
     return DEVICE_CONFIGS
 
 
-def one_device_case(seed: int, block_size: int = 512) -> None:
+def one_device_case(seed: int, block_size: int = 512, strict: bool = False) -> None:
     """Random signal, canned config: device stream must byte-equal the
     oracle stream (the device<->scalar fuzz tier)."""
     from flacenc_tpu.models import batch_encoder as be
 
     rng = np.random.default_rng(seed)
-    cfg = _device_configs()[seed % len(_device_configs())].into_verified()
+    if strict:
+        cfg = config.Encoder().into_verified()  # one program for strict tier
+    else:
+        cfg = _device_configs()[seed % len(_device_configs())].into_verified()
     channels = 2 if rng.integers(0, 2) else 1
     signal_len = int(rng.integers(1, 5 * block_size))
     bps = 16
@@ -145,12 +148,13 @@ def one_device_case(seed: int, block_size: int = 512) -> None:
         )
     d = be.encode_with_fixed_block_size(
         cfg, source.MemSource(interleaved, channels, bps, 44100), block_size,
-        batch_size=8,
+        batch_size=8, strict_lpc=strict,
     ).to_bytes()
     r = re.encode_with_fixed_block_size(
-        cfg, source.MemSource(interleaved, channels, bps, 44100), block_size
+        cfg, source.MemSource(interleaved, channels, bps, 44100), block_size,
+        strict_lpc=strict,
     ).to_bytes()
-    assert d == r, f"device/oracle stream mismatch (seed={seed})"
+    assert d == r, f"device/oracle stream mismatch (seed={seed}, strict={strict})"
     assert np.array_equal(decode_stream(parse_stream(d)), interleaved)
 
 
@@ -164,8 +168,12 @@ def main() -> int:
         "--device", action="store_true",
         help="fuzz the batched device encoder against the oracle (byte-equal)",
     )
+    ap.add_argument(
+        "--strict", action="store_true",
+        help="with --device: use strict-float QLPC in both encoders",
+    )
     args = ap.parse_args()
-    case = (lambda i: one_device_case(i)) if args.device else (
+    case = (lambda i: one_device_case(i, strict=args.strict)) if args.device else (
         lambda i: one_case(i, args.max_block)
     )
     if args.seed is not None:
