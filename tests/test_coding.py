@@ -184,3 +184,35 @@ def test_stereo_mode_search_picks_midside():
     kinds = {f.header().channel_assignment.kind for f in stream.frames()}
     assert kinds <= {"left_side", "right_side", "mid_side"}
     _roundtrip(stream, interleaved, 2, 16)
+
+
+def test_rice2_five_bit_params_roundtrip():
+    """24-bit heavy-noise content drives rice params > 14 (RICE2, 5-bit
+    partition params — bitrepr.rs:541-554); stream must stay lossless and
+    the native packer byte-equal."""
+    from flacenc_tpu.component import FixedLpc, Lpc
+    from flacenc_tpu.models import batch_encoder as be
+
+    n = 3000
+    x = np.zeros(2 * n, np.int32)
+    for ch in range(2):
+        x[ch::2] = (
+            sigen.Sine(97 + ch, 0.6).noise_with_seed(ch, 0.15)
+            .to_vec_quantized(24, n)
+        )
+    src = source.MemSource(x, 2, 24, 96000)
+    s = re.encode_with_fixed_block_size(config.Encoder().into_verified(), src, 1024)
+    max_p = max(
+        int(sub.residual.rice_params.max())
+        for f in s.frames()
+        for sub in f.subframes()
+        if isinstance(sub, (Lpc, FixedLpc))
+    )
+    assert max_p > 14, "fixture must exercise RICE2"
+    d = s.to_bytes()
+    assert np.array_equal(decode_stream(parse_stream(d)), x)
+    # device + native packer must agree byte-for-byte
+    d_dev = be.encode_with_fixed_block_size(
+        config.Encoder().into_verified(), source.MemSource(x, 2, 24, 96000), 1024
+    ).to_bytes()
+    assert d_dev == d
