@@ -108,3 +108,30 @@ def test_compression_is_effective():
     )
     ratio = len(stream.to_bytes()) / (len(interleaved) * 2)
     assert ratio < 0.70
+
+
+REFERENCE_TOML_CONFIGS = [
+    # verbatim from the reference's e2e matrix (lib.rs:177-194); note
+    # `block_sizes` is an unknown key there too and is ignored by serde —
+    # our TOML loader matches that tolerance
+    "",
+    "\nblock_sizes = [512]\n",
+    "\nblock_sizes = [1024]\n[subframe_coding.qlpc]\nuse_direct_mse = true\nmae_optimization_steps = 2\n",
+    "\nmultithread = false\n",
+]
+
+
+@pytest.mark.parametrize("toml_text", REFERENCE_TOML_CONFIGS)
+@pytest.mark.parametrize("channels", [1, 3])
+def test_e2e_reference_toml_matrix(toml_text, channels):
+    """lib.rs:196-251 matrix (reduced grid), with the reference's verbatim
+    TOML config strings parsed through our loader."""
+    cfg = config.Encoder.from_toml(toml_text)
+    signal_len = 4123
+    interleaved = np.zeros(signal_len * channels, np.int32)
+    for ch in range(channels):
+        interleaved[ch::channels] = (
+            sigen.Sine(36, 0.4).noise_with_seed(50 + ch, 0.04)
+            .to_vec_quantized(16, signal_len)
+        )
+    integrity_test(cfg, interleaved, channels, 16, 16001, cfg.block_size)
