@@ -6,6 +6,22 @@ Prints ONE JSON line:
 
 Baseline: flacenc-rs default (8 threads, nightly SIMD) = 1309.5x realtime
 on a GCE c2-standard-8 (BASELINE.md).
+
+Methodology notes:
+- `value` is honest end-to-end wall time: host PCM in RAM -> FLAC bytes,
+  including host->device upload, the jitted search program, decisions
+  download, and C++ residual-recompute + bit packing.
+- `device_step_x_realtime` times the jitted device program by chaining N
+  dispatches and fetching only the last tiny output (TPU executes
+  in-order, so the last result bounds all N); the difference between two
+  chain lengths removes the per-fetch link latency, which on tunneled
+  devices is ~30-70 ms and would otherwise dominate (round-1's lower
+  bound measured exactly that artifact).
+- `ref_bits_per_sample_same_corpus` encodes the identical signal through
+  this repo's strict mode (byte-level reference-stable float semantics;
+  see DESIGN.md), the same-inputs methodology of the reference's
+  pytools/reporter.py:27-73. BASELINE.md's 8.4424 bits/sample is
+  cross-corpus context only (wikimedia WAVs).
 """
 
 import json
@@ -18,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BASELINE_X_REALTIME = 1309.5
-REF_BITS_PER_SAMPLE = 0.5276489 * 16  # flacenc default compression (BASELINE.md)
+REF_BITS_PER_SAMPLE_WIKIMEDIA = 0.5276489 * 16  # cross-corpus (BASELINE.md)
 
 
 def make_audio(seconds: float, rate: int = 44100) -> np.ndarray:
@@ -48,9 +64,9 @@ def main() -> None:
     from flacenc_tpu.source import MemSource
 
     rate, bps, block = 44100, 16, 4096
-    warm_seconds = float(os.environ.get("BENCH_WARM_SECONDS", "8"))
+    warm_seconds = float(os.environ.get("BENCH_WARM_SECONDS", "12"))
     seconds = float(os.environ.get("BENCH_SECONDS", "300"))
-    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    batch = int(os.environ.get("BENCH_BATCH", "512"))
     packer = os.environ.get("BENCH_PACKER", "auto")
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
 
@@ -79,24 +95,38 @@ def main() -> None:
     x_realtime = (n_samples / rate) / best
     bits_per_sample = len(data) * 8 / len(audio)
 
-    # device-only throughput lower bound: one jitted step + a minimal fetch
-    # (shows the compute headroom when the host link is the bottleneck)
+    # same-corpus reference proxy: strict mode reproduces the reference
+    # STABLE build's float semantics byte-for-byte for this config
+    src = MemSource(audio, 2, bps, rate)
+    strict_stream = be.encode_with_fixed_block_size(
+        cfg, src, block, batch_size=batch, packer=packer, strict_lpc=True
+    )
+    strict_bytes = strict_stream.to_bytes()
+    ref_bits_same = len(strict_bytes) * 8 / len(audio)
+
+    # device-program throughput: chained dispatches, one fetch of the last
+    # tiny field; two chain lengths remove the fixed per-fetch latency
     import jax
     import jax.numpy as jnp
 
-    fn = be._cached_encoder_fn(cfg.inner.to_toml(), 2, bps, block)
+    fn = be._cached_encoder_fn(
+        cfg.inner.to_toml(), 2, bps, block, decisions_only=True
+    )
+    dev_batch = min(batch, 128)  # device-step shape (held on device)
     blocks = np.stack(
-        [audio.reshape(-1, 2).T[:, i * block : (i + 1) * block] for i in range(batch)]
+        [audio.reshape(-1, 2).T[:, i * block: (i + 1) * block]
+         for i in range(dev_batch)]
     ).astype(np.int16)
     dblocks = jnp.asarray(blocks)
-    jax.device_get(fn(dblocks).sf_bits)
-    t0 = time.perf_counter()
-    reps = 20  # chain dispatches; one fetch amortizes transport round trips
-    outs = [fn(dblocks) for _ in range(reps)]
-    for r in outs:
-        jax.device_get(r.sf_bits)
-    dev_elapsed = (time.perf_counter() - t0) / reps
-    device_x = (batch * block / rate) / dev_elapsed
+    jax.device_get(fn(dblocks).sf_bits)  # compile + warm
+    chain = {}
+    for reps in (10, 50):
+        t0 = time.perf_counter()
+        outs = [fn(dblocks) for _ in range(reps)]
+        jax.device_get(outs[-1].sf_bits)
+        chain[reps] = time.perf_counter() - t0
+    per_step = max((chain[50] - chain[10]) / 40, 1e-9)
+    device_x = (dev_batch * block / rate) / per_step
 
     print(json.dumps({
         "metric": "x-realtime encode per chip (16/44.1 stereo, block=4096)",
@@ -105,15 +135,23 @@ def main() -> None:
         "vs_baseline": round(x_realtime / BASELINE_X_REALTIME, 4),
         "extra": {
             "bits_per_sample": round(bits_per_sample, 4),
-            "ref_bits_per_sample_flacenc_default": round(REF_BITS_PER_SAMPLE, 4),
+            "ref_bits_per_sample_same_corpus": round(ref_bits_same, 4),
+            "ref_bits_per_sample_wikimedia_crosscorpus": round(
+                REF_BITS_PER_SAMPLE_WIKIMEDIA, 4
+            ),
             "seconds_encoded": seconds,
             "encoded_bytes": len(data),
             "batch": batch,
             "packer": packer,
-            "device_step_x_realtime_lower_bound": round(device_x, 1),
+            "device_step_x_realtime": round(device_x, 1),
+            "device_step_ms_per_batch": round(per_step * 1e3, 3),
+            "device_step_batch": dev_batch,
             "note": (
-                "end-to-end rate includes host<->device transport; on "
-                "tunneled devices the link, not the chip, is the ceiling"
+                "value = end-to-end incl. host<->device transport; on "
+                "tunneled devices the link (fixed ~70ms/transfer + "
+                "~30-50 MB/s), not the chip, is the ceiling. "
+                "device_step_x_realtime is the jitted search program alone "
+                "(chained dispatch, in-order execution, latency removed)."
             ),
         },
     }))

@@ -75,27 +75,33 @@ class DeviceEncoded(NamedTuple):
     # halving device->host traffic.
 
 
-class DevicePackedEncoded(NamedTuple):
-    """Device outputs when residual payloads are bit-packed on-chip.
+class DeviceDecisions(NamedTuple):
+    """Decisions-only device outputs (packer="native2", the default).
 
-    `words` stays resident on the device; the host fetches `total_bits`
-    first, then pulls a compacted flat payload buffer (ops/pack.py).
-    """
+    Per-sample residuals never leave the chip: the C++ packer recomputes
+    the chosen predictor's residual from the raw blocks the host already
+    holds (native packer.cpp:flacenc_pack_frames_recompute). Download is
+    ~200 bytes/frame instead of ~2 bytes/sample."""
 
-    assign: jnp.ndarray       # (B,)
-    sf_type: jnp.ndarray      # (B, C)
-    order: jnp.ndarray        # (B, C)
-    qcoefs: jnp.ndarray       # (B, C, 24)
-    shift: jnp.ndarray        # (B, C)
-    sf_bits: jnp.ndarray      # (B, C)
-    total_bits: jnp.ndarray   # (B, C) residual payload bits
-    words: jnp.ndarray        # (B, C, W) uint32 packed payload (on device)
+    assign: jnp.ndarray        # (B,) int32 assignment code (stereo) or 0
+    sf_type: jnp.ndarray       # (B, C) int32 subframe type code
+    order: jnp.ndarray         # (B, C) int32 predictor order
+    qcoefs: jnp.ndarray        # (B, C, MAX_LPC_ORDER) int32
+    shift: jnp.ndarray         # (B, C) int32
+    rice_order: jnp.ndarray    # (B, C) int32 partition order
+    rice_params: jnp.ndarray   # (B, C, max_parts) int32
+    sf_bits: jnp.ndarray       # (B, C) int64 exact subframe bit counts
 
 
-def _subframe_candidates(cfg, sig, bps_k, block_size, window, ext_qlpc=None):
+def _subframe_candidates(cfg, sig, bps_k, block_size, window, ext_qlpc=None,
+                         ext_fixed=None):
     """Evaluate all predictor candidates for candidate channels.
 
     sig: (B, K, T) int32; bps_k: (K,) static bits-per-sample per candidate.
+    `ext_fixed` (strict mode, ApproxEnt): host-computed (order, est_bits)
+    from the native sequential-f32 entropy selector (packer.cpp
+    flacenc_strict_fixed_order), replacing the device estimate whose XLA
+    f32 accumulation order may differ from the reference stable build.
     Returns per-(B,K) selection arrays (see body).
     """
     sub = cfg.subframe_coding
@@ -121,16 +127,19 @@ def _subframe_candidates(cfg, sig, bps_k, block_size, window, ext_qlpc=None):
         n_orders = sub.fixed.max_order + 1
         order_sel = sub.fixed.order_sel
         if order_sel.type == "ApproxEnt":
-            ests = []
-            for o in range(n_orders):
-                w = jnp.full((B, K), o, jnp.int32)
-                est = ops_fixed.estimate_entropy(
-                    errs[:, :, o, :], w, order_sel.partitions, T
-                )
-                ests.append(est + bps_v * o)
-            est_bits = jnp.stack(ests, axis=-1)  # (B, K, n_orders)
-            fx_order = jnp.argmin(est_bits, axis=-1).astype(jnp.int32)  # low order wins ties
-            fx_est = jnp.min(est_bits, axis=-1)
+            if ext_fixed is not None:
+                fx_order, fx_est = ext_fixed  # (B, K) i32 / i64 host-strict
+            else:
+                ests = []
+                for o in range(n_orders):
+                    w = jnp.full((B, K), o, jnp.int32)
+                    est = ops_fixed.estimate_entropy(
+                        errs[:, :, o, :], w, order_sel.partitions, T
+                    )
+                    ests.append(est + bps_v * o)
+                est_bits = jnp.stack(ests, axis=-1)  # (B, K, n_orders)
+                fx_order = jnp.argmin(est_bits, axis=-1).astype(jnp.int32)  # low order wins ties
+                fx_est = jnp.min(est_bits, axis=-1)
             fx_err = jnp.take_along_axis(
                 errs, fx_order[..., None, None], axis=2
             )[:, :, 0, :]
@@ -256,7 +265,6 @@ def _subframe_candidates(cfg, sig, bps_k, block_size, window, ext_qlpc=None):
     fits16 = jnp.all(
         (errors >= -32768) & (errors <= 32767), axis=-1
     )
-    use_rice2 = jnp.where(is_lpc, lpc_rice.use_rice2, fx_rice.use_rice2)
     return {
         "sf_type": sf_type,
         "sf_bits": sf_bits,
@@ -266,8 +274,6 @@ def _subframe_candidates(cfg, sig, bps_k, block_size, window, ext_qlpc=None):
         "rice_order": rice_order,
         "rice_params": rice_params,
         "errors": errors.astype(jnp.int16),
-        "errors32": errors,
-        "use_rice2": use_rice2,
         "fits16": fits16,
     }
 
@@ -277,13 +283,14 @@ def build_encoder_fn(
     nchannels: int,
     bps: int,
     block_size: int,
-    device_pack: bool = False,
     strict_lpc: bool = False,
+    decisions_only: bool = False,
 ):
     """Builds the jitted device program for one (config, C, bps, T) combo.
 
-    With `device_pack=True` the residual payloads are bit-packed on the
-    device (ops/pack.py) and per-sample residuals never leave the chip.
+    With `decisions_only=True` (packer="native2") per-sample residuals are
+    never shipped: the program returns `DeviceDecisions` and the C++ packer
+    recomputes residuals host-side from the raw blocks.
     """
     window = get_window(cfg.subframe_coding.qlpc.window, block_size)
     stereo = nchannels == 2
@@ -304,9 +311,11 @@ def build_encoder_fn(
             cand = blocks
             bps_k = [bps] * C
 
+        ext_qlpc = ext[:3] if strict_lpc else None
+        ext_fixed = ext[3:5] if strict_lpc and len(ext) == 5 else None
         res = _subframe_candidates(
             cfg, cand, bps_k, block_size, window,
-            ext_qlpc=ext if strict_lpc else None,
+            ext_qlpc=ext_qlpc, ext_fixed=ext_fixed,
         )
 
         if stereo:
@@ -339,24 +348,16 @@ def build_encoder_fn(
             assign = jnp.zeros((B,), jnp.int32)
             out = res
 
-        if device_pack:
-            from ..ops import pack as ops_pack
-
-            warmup = jnp.where(out["sf_type"] >= T_FIXED, out["order"], 0)
-            active = out["sf_type"] >= T_FIXED
-            words, total_bits = ops_pack.pack_residual_payload(
-                out["errors32"], out["rice_order"], out["rice_params"],
-                warmup, out["use_rice2"], active, block_size, bps + 1,
-            )
-            return DevicePackedEncoded(
+        if decisions_only:
+            return DeviceDecisions(
                 assign=assign,
                 sf_type=out["sf_type"],
                 order=out["order"],
                 qcoefs=out["qcoefs"],
                 shift=out["shift"],
+                rice_order=out["rice_order"],
+                rice_params=out["rice_params"],
                 sf_bits=out["sf_bits"],
-                total_bits=total_bits,
-                words=words,
             )
 
         return DeviceEncoded(
@@ -509,6 +510,67 @@ def pack_frames_native(
     return frames
 
 
+def pack_frames_decisions(
+    enc, blocks, frame_numbers, cfg, nchannels, bps, sample_rate, block_size
+) -> List[Frame]:
+    """Packs from device DECISIONS only (packer="native2", the default).
+
+    The C++ packer recomputes stored channels and residuals from the raw
+    input blocks (native packer.cpp), so the device download is just the
+    per-channel choices — the host<->device boundary plan of SURVEY §7
+    hard part #3 taken to its end point."""
+    from .. import native
+    from ..component.datatype import BlockSizeSpec, SampleRateSpec, SampleSizeSpec
+
+    if not isinstance(enc.assign, np.ndarray):
+        enc = DeviceDecisions(**jax.device_get(enc._asdict()))  # one round trip
+    assign = np.asarray(enc.assign)
+    B = assign.shape[0]
+    stereo = nchannels == 2
+    if stereo:
+        ch_tag = _ASSIGN_TAGS[assign]
+    else:
+        ch_tag = np.full(B, nchannels - 1, dtype=np.int32)
+
+    bs = BlockSizeSpec.from_size(block_size)
+    sr = SampleRateSpec.from_freq(sample_rate) or SampleRateSpec.UNSPECIFIED
+    ss = SampleSizeSpec.from_bits(bps)
+    data, sizes = native.pack_frames_recompute(
+        blocks, assign,
+        np.asarray(enc.sf_type), np.asarray(enc.order),
+        np.asarray(enc.qcoefs), np.asarray(enc.shift),
+        np.asarray(enc.rice_order), np.asarray(enc.rice_params),
+        ch_tag, np.asarray(frame_numbers, dtype=np.int64),
+        bps, cfg.subframe_coding.qlpc.quant_precision,
+        (bs.tag, bs.count_extra_bits(), bs.extra or 0),
+        (sr.tag, sr.count_extra_bits(), sr.extra or 0),
+        ss.tag,
+    )
+    frames: List[Frame] = []
+    offset = 0
+    view = memoryview(data)
+    for b in range(B):
+        if stereo:
+            ch_info = [
+                ChannelAssignment.independent(2),
+                ChannelAssignment.left_side(),
+                ChannelAssignment.right_side(),
+                ChannelAssignment.mid_side(),
+            ][assign[b]]
+        else:
+            ch_info = ChannelAssignment.independent(nchannels)
+        header = reference_encoder._new_frame_header(
+            block_size, ch_info, sample_rate, bps
+        )
+        header.set_frame_number(int(frame_numbers[b]))
+        frame = Frame(header, [])
+        end = offset + int(sizes[b])
+        frame.precomputed_bitstream = bytes(view[offset:end])
+        offset = end
+        frames.append(frame)
+    return frames
+
+
 def frames_from_device(
     enc, blocks, frame_numbers, cfg, nchannels, bps, sample_rate, block_size
 ) -> List[Frame]:
@@ -592,11 +654,11 @@ def _bucket_pad(chunk: np.ndarray, batch_size: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=32)
-def _cached_encoder_fn(cfg_key, nchannels, bps, block_size, device_pack=False,
-                       strict_lpc=False):
+def _cached_encoder_fn(cfg_key, nchannels, bps, block_size,
+                       strict_lpc=False, decisions_only=False):
     cfg = config_mod.Encoder.from_toml(cfg_key)
     return build_encoder_fn(
-        cfg, nchannels, bps, block_size, device_pack, strict_lpc
+        cfg, nchannels, bps, block_size, strict_lpc, decisions_only
     )
 
 
@@ -613,106 +675,38 @@ def _candidate_signals(chunk: np.ndarray, nchannels: int) -> np.ndarray:
     )
 
 
-def _strict_qlpc_arrays(chunk: np.ndarray, cfg, nchannels: int, window):
-    """Exact stable-reference QLPC params for every candidate channel."""
+def _strict_ext_arrays(chunk: np.ndarray, cfg, nchannels: int, bps: int, window):
+    """Host-computed strict-mode arrays for every candidate channel.
+
+    QLPC params come from the native sequential-FMA estimator; for
+    ApproxEnt configs the fixed-LPC order selection additionally comes from
+    the native sequential-f32 entropy (both matching the reference STABLE
+    build's float semantics exactly)."""
     from .. import native
 
+    sub = cfg.subframe_coding
     cand = _candidate_signals(chunk, nchannels)
     B, K, T = cand.shape
+    flat = np.ascontiguousarray(cand.reshape(B * K, T), dtype=np.int32)
     q, o, sh = native.strict_qlpc(
-        cand.reshape(B * K, T), window,
-        cfg.subframe_coding.qlpc.lpc_order,
-        cfg.subframe_coding.qlpc.quant_precision,
+        flat, window, sub.qlpc.lpc_order, sub.qlpc.quant_precision,
     )
-    return (
+    ext = [
         q.reshape(B, K, 24), o.reshape(B, K).astype(np.int32),
         sh.reshape(B, K).astype(np.int32),
-    )
-
-
-_COMPACT_BUCKET_WORDS = 1 << 18  # 1 MiB download granularity
-
-
-@functools.lru_cache(maxsize=16)
-def _cached_compact_fn(budget: int):
-    from ..ops import pack as ops_pack
-
-    return jax.jit(
-        lambda words, counts, offsets: ops_pack.compact_payloads(
-            words, counts, offsets, budget
-        )
-    )
-
-
-def pack_frames_devicepacked(
-    enc: "DevicePackedEncoded", blocks, frame_numbers, cfg, nchannels, bps,
-    sample_rate, block_size,
-) -> List[Frame]:
-    """Host assembly when residuals were bit-packed on the device.
-
-    Fetches only decisions + payload sizes, compacts the payload words into
-    a flat buffer on-device (bucketed budget keeps program count small),
-    pulls it, and lets the C++ packer blit payloads into frames.
-    """
-    from .. import native
-    from ..component.datatype import BlockSizeSpec, SampleRateSpec, SampleSizeSpec
-
-    host = jax.device_get(
-        {k: v for k, v in enc._asdict().items() if k != "words"}
-    )  # ONE round trip for all decision fields
-    assign = host["assign"]
-    total_bits = host["total_bits"]  # (B, C)
-    B, C = total_bits.shape
-    counts = ((total_bits + 31) // 32).astype(np.int32)
-    offsets_flat = np.concatenate([[0], np.cumsum(counts.reshape(-1))])
-    total_words = int(offsets_flat[-1])
-    offsets = offsets_flat[:-1].reshape(B, C).astype(np.int32)
-    budget = max(
-        _COMPACT_BUCKET_WORDS,
-        -(-total_words // _COMPACT_BUCKET_WORDS) * _COMPACT_BUCKET_WORDS,
-    )
-    compact = _cached_compact_fn(budget)
-    flat = np.asarray(compact(enc.words, jnp.asarray(counts), jnp.asarray(offsets)))
-
-    stereo = nchannels == 2
-    ch_tag = _ASSIGN_TAGS[assign] if stereo else np.full(B, nchannels - 1, np.int32)
-    signal = _slot_signals(blocks, assign, nchannels)
-    bs = BlockSizeSpec.from_size(block_size)
-    sr = SampleRateSpec.from_freq(sample_rate) or SampleRateSpec.UNSPECIFIED
-    ss = SampleSizeSpec.from_bits(bps)
-    data, sizes = native.pack_frames_from_device_payload(
-        signal, flat, total_bits.astype(np.int64), offsets.astype(np.int64),
-        host["sf_type"], host["order"],
-        host["qcoefs"], host["shift"],
-        ch_tag, np.asarray(frame_numbers, dtype=np.int64),
-        bps, cfg.subframe_coding.qlpc.quant_precision,
-        (bs.tag, bs.count_extra_bits(), bs.extra or 0),
-        (sr.tag, sr.count_extra_bits(), sr.extra or 0),
-        ss.tag,
-    )
-    frames: List[Frame] = []
-    offset = 0
-    view = memoryview(data)
-    for b in range(B):
-        if stereo:
-            ch_info = [
-                ChannelAssignment.independent(2),
-                ChannelAssignment.left_side(),
-                ChannelAssignment.right_side(),
-                ChannelAssignment.mid_side(),
-            ][assign[b]]
+    ]
+    if sub.use_fixed and sub.fixed.order_sel.type == "ApproxEnt":
+        if nchannels == 2:
+            bps_k = np.array([bps, bps, bps, bps + 1], np.int32)
         else:
-            ch_info = ChannelAssignment.independent(nchannels)
-        header = reference_encoder._new_frame_header(
-            block_size, ch_info, sample_rate, bps
+            bps_k = np.full(K, bps, np.int32)
+        bps_flat = np.broadcast_to(bps_k, (B, K)).reshape(B * K).copy()
+        fo, fe = native.strict_fixed_order(
+            flat, bps_flat, sub.fixed.max_order,
+            sub.fixed.order_sel.partitions,
         )
-        header.set_frame_number(int(frame_numbers[b]))
-        frame = Frame(header, [])
-        end = offset + int(sizes[b])
-        frame.precomputed_bitstream = bytes(view[offset:end])
-        offset = end
-        frames.append(frame)
-    return frames
+        ext += [fo.reshape(B, K).astype(np.int32), fe.reshape(B, K)]
+    return tuple(ext)
 
 
 def encode_with_fixed_block_size(
@@ -756,12 +750,13 @@ def encode_with_fixed_block_size(
     if packer == "auto":
         from .. import native
 
-        # the C++ host packer wins on both PCIe-attached and tunneled
-        # devices; "device" (on-chip bit packing, ops/pack.py) is kept
-        # as an option for transfer-starved links with fast XLA gathers
-        packer = "native" if native.available() else "python"
+        # decisions-only download + C++ residual recompute ("native2") wins
+        # on every link: the device ships ~200 B/frame instead of
+        # ~2 B/sample of residuals ("native"), and the recompute FIR is a
+        # rounding error next to bit packing
+        packer = "native2" if native.available() else "python"
     assemble = {
-        "device": pack_frames_devicepacked,
+        "native2": pack_frames_decisions,
         "native": pack_frames_native,
         "python": frames_from_device,
     }[packer]
@@ -773,10 +768,11 @@ def encode_with_fixed_block_size(
     hi = (1 << (bps - 1)) - 1
 
     # Streaming pipeline: blocks are read batch-by-batch (bounded memory —
-    # only `depth` raw batches plus finished compressed frames are held),
-    # device dispatch is async, device->host fetches run on a background
-    # thread, the main thread packs (FRAMEBUF_MULTIPLICITY analogue,
-    # constant.rs:103).
+    # only `depth` raw batches plus finished compressed frames are held).
+    # Upload + device dispatch + device->host fetch all run on a background
+    # thread (GIL is released during transfers and the ctypes pack call),
+    # so the main thread's read/MD5/pack overlaps the link in both
+    # directions (par.rs:109-193's refill-queue overlap, host<->device).
     import concurrent.futures
 
     frames: List[Frame] = []
@@ -784,20 +780,21 @@ def encode_with_fixed_block_size(
     framebuf = FrameBuf(nch, block_size)
     in_flight: List[tuple] = []
     depth = constants.par.FRAMEBUF_MULTIPLICITY
-    fetch_pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
+    io_pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
     fn = None  # built lazily on the first full batch
 
-    def start_fetch(enc):
-        if isinstance(enc, DevicePackedEncoded):
-            return None  # devicepacked assembly manages its own fetches
-        return fetch_pool.submit(
-            lambda: DeviceEncoded(**jax.device_get(enc._asdict()))
-        )
+    def upload_dispatch_fetch(chunk, ext):
+        """Runs on the io_pool: host->device, dispatch, device->host."""
+        up = chunk.astype(np.int16) if bps <= 16 else chunk
+        if ext is not None:
+            enc = fn(jnp.asarray(up), *map(jnp.asarray, ext))
+        else:
+            enc = fn(jnp.asarray(up))
+        return type(enc)(**jax.device_get(enc._asdict()))
 
     def drain_one():
-        enc, fut, chunk, nums, n_valid = in_flight.pop(0)
-        if fut is not None:
-            enc = fut.result()
+        fut, chunk, nums, n_valid = in_flight.pop(0)
+        enc = fut.result()
         batch_frames = assemble(enc, chunk, nums, cfg, nch, bps, rate, block_size)
         frames.extend(batch_frames[:n_valid])
 
@@ -812,18 +809,16 @@ def encode_with_fixed_block_size(
             )
         if fn is None:
             fn = _cached_encoder_fn(
-                cfg.to_toml(), nch, bps, block_size, packer == "device", strict_lpc
+                cfg.to_toml(), nch, bps, block_size, strict_lpc,
+                packer == "native2",
             )
-        up = chunk.astype(np.int16) if bps <= 16 else chunk
-        if strict_lpc:
-            eq, eo, es = _strict_qlpc_arrays(chunk, cfg, nch, strict_window)
-            enc = fn(jnp.asarray(up), jnp.asarray(eq), jnp.asarray(eo),
-                     jnp.asarray(es))
-        else:
-            enc = fn(jnp.asarray(up))
-        fut = start_fetch(enc)
+        ext = (
+            _strict_ext_arrays(chunk, cfg, nch, bps, strict_window)
+            if strict_lpc else None
+        )
+        fut = io_pool.submit(upload_dispatch_fetch, chunk, ext)
         in_flight.append(
-            (enc, fut, chunk,
+            (fut, chunk,
              np.arange(start_num, start_num + chunk.shape[0]),
              len(blocks_list))
         )
@@ -850,7 +845,7 @@ def encode_with_fixed_block_size(
         while in_flight:
             drain_one()
     finally:
-        fetch_pool.shutdown(wait=False)
+        io_pool.shutdown(wait=False)
 
     if tail is not None:
         fb = FrameBuf(nch, tail.shape[1])

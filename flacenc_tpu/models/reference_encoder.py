@@ -62,8 +62,16 @@ def select_order_and_encode_residual(
     errors: Iterable[Tuple[int, np.ndarray]],
     bits_per_sample: int,
     baseline_bits: int,
+    strict_lpc: bool = False,
 ) -> Optional[Tuple[int, Residual]]:
-    """coding.rs:230-288. Ties prefer the lowest order (first minimum)."""
+    """coding.rs:230-288. Ties prefer the lowest order (first minimum).
+
+    With `strict_lpc`, the ApproxEnt estimate uses the native sequential-f32
+    accumulation matching the reference STABLE build exactly (fakesimd's
+    find_sum_abs_f32 is a scalar loop, arrayutils.rs:427-438); the default
+    numpy estimate uses pairwise summation, which can flip order choices on
+    adversarial inputs (COVERAGE.md deviation list).
+    """
     max_rice_p = prc_config.max_parameter
     if order_sel.type == "BitCount":
         best = None
@@ -77,12 +85,25 @@ def select_order_and_encode_residual(
         order, err, prc_p, _ = best
         return order, encode_residual_with_prc_parameter(err, order, prc_p)
     else:  # ApproxEnt
+        if strict_lpc:
+            from .. import native
+
+            def entropy(err, order):
+                est = native.estimate_entropy_strict(
+                    err, order, order_sel.partitions
+                )
+                if est is None:  # lib unavailable; numpy approximation
+                    est = ref_np.estimate_entropy(
+                        err, order, order_sel.partitions
+                    )
+                return est
+        else:
+            def entropy(err, order):
+                return ref_np.estimate_entropy(err, order, order_sel.partitions)
+
         best = None
         for order, err in errors:
-            bits = (
-                ref_np.estimate_entropy(err, order, order_sel.partitions)
-                + bits_per_sample * order
-            )
+            bits = entropy(err, order) + bits_per_sample * order
             if best is None or bits < best[2]:
                 best = (order, err, bits)
         if best is None or best[2] >= baseline_bits:
@@ -96,6 +117,7 @@ def fixed_lpc(
     signal: np.ndarray,
     bits_per_sample: int,
     baseline_bits: int,
+    strict_lpc: bool = False,
 ) -> Optional[FixedLpc]:
     """coding.rs:298-331."""
     assert bits_per_sample < 30
@@ -107,6 +129,7 @@ def fixed_lpc(
         list(enumerate(errors[: max_order + 1])),
         bits_per_sample,
         baseline_bits,
+        strict_lpc,
     )
     if sel is None:
         return None
@@ -174,7 +197,7 @@ def encode_subframe(
     verbatim_bits = Verbatim.count_bits_from_metadata(len(samples), bits_per_sample)
     too_short = len(samples) < constants.MIN_BLOCK_SIZE_FOR_PREDICTION
     fixed = (
-        fixed_lpc(cfg, samples, bits_per_sample, verbatim_bits)
+        fixed_lpc(cfg, samples, bits_per_sample, verbatim_bits, strict_lpc)
         if (not too_short and cfg.use_fixed)
         else None
     )

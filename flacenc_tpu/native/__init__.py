@@ -112,72 +112,61 @@ def pack_frames(
     return out[:total].tobytes(), sizes
 
 
-def _bind_device_packer(lib):
-    lib.flacenc_pack_frames_device.restype = ctypes.c_int64
-    lib.flacenc_pack_frames_device.argtypes = [
-        ctypes.POINTER(ctypes.c_int32),   # signal
-        ctypes.POINTER(ctypes.c_uint32),  # payload words
-        ctypes.POINTER(ctypes.c_int64),   # payload_bits
-        ctypes.POINTER(ctypes.c_int64),   # payload_off
-        ctypes.POINTER(ctypes.c_int32),   # sf_type
-        ctypes.POINTER(ctypes.c_int32),   # order
-        ctypes.POINTER(ctypes.c_int32),   # qcoefs
-        ctypes.POINTER(ctypes.c_int32),   # shift
-        ctypes.POINTER(ctypes.c_int32),   # ch_tag
-        ctypes.POINTER(ctypes.c_int64),   # frame_numbers
-        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int64),
-    ]
-
-
-def pack_frames_from_device_payload(
-    signal: np.ndarray,         # (F, C, T) int32
-    payload: np.ndarray,        # flat uint32 words
-    payload_bits: np.ndarray,   # (F, C) int64
-    payload_off: np.ndarray,    # (F, C) int64 (word offsets)
-    sf_type: np.ndarray,
-    order: np.ndarray,
-    qcoefs: np.ndarray,
-    shift: np.ndarray,
-    ch_tag: np.ndarray,
-    frame_numbers: np.ndarray,
+def pack_frames_recompute(
+    blocks: np.ndarray,        # (F, C, T) int32 raw input channels
+    assign: np.ndarray,        # (F,) int32 stereo assignment code
+    sf_type: np.ndarray,       # (F, C) int32
+    order: np.ndarray,         # (F, C) int32
+    qcoefs: np.ndarray,        # (F, C, 24) int32
+    shift: np.ndarray,         # (F, C) int32
+    rice_order: np.ndarray,    # (F, C) int32
+    rice_params: np.ndarray,   # (F, C, P) int32
+    ch_tag: np.ndarray,        # (F,) int32
+    frame_numbers: np.ndarray, # (F,) int64
     bps_base: int,
     precision: int,
     bs_spec: Tuple[int, int, int],
     sr_spec: Tuple[int, int, int],
     ss_tag: int,
 ) -> Tuple[bytes, np.ndarray]:
-    """Packs frames whose residual payloads were bit-packed on device."""
+    """Packs frames from device DECISIONS only.
+
+    Stored channels (M/S) and chosen-predictor residuals are recomputed in
+    C++ from the raw input blocks — residuals never cross the device link.
+    """
     lib = _load()
     assert lib is not None, f"native packer unavailable: {_load_error}"
-    _bind_device_packer(lib)
-    F, C, T = signal.shape
+    if getattr(lib.flacenc_pack_frames_recompute, "argtypes", None) is None:
+        lib.flacenc_pack_frames_recompute.restype = ctypes.c_int64
+        lib.flacenc_pack_frames_recompute.argtypes = (
+            [ctypes.POINTER(ctypes.c_int32)] * 9
+            + [ctypes.POINTER(ctypes.c_int64)]
+            + [ctypes.c_int32] * 13
+            + [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+               ctypes.POINTER(ctypes.c_int64)]
+        )
+    F, C, T = blocks.shape
+    P = rice_params.shape[-1]
 
     def c32(a):
         return np.ascontiguousarray(a, dtype=np.int32)
 
-    signal = c32(signal); sf_type = c32(sf_type); order = c32(order)
-    qcoefs = c32(qcoefs); shift = c32(shift); ch_tag = c32(ch_tag)
-    payload = np.ascontiguousarray(payload, dtype=np.uint32)
-    payload_bits = np.ascontiguousarray(payload_bits, dtype=np.int64)
-    payload_off = np.ascontiguousarray(payload_off, dtype=np.int64)
+    blocks = c32(blocks); assign = c32(assign); sf_type = c32(sf_type)
+    order = c32(order); qcoefs = c32(qcoefs); shift = c32(shift)
+    rice_order = c32(rice_order); rice_params = c32(rice_params)
+    ch_tag = c32(ch_tag)
     frame_numbers = np.ascontiguousarray(frame_numbers, dtype=np.int64)
 
     capacity = F * (64 + C * (T * 5 + 64))
     out = np.empty(capacity, dtype=np.uint8)
     sizes = np.zeros(F, dtype=np.int64)
-    total = lib.flacenc_pack_frames_device(
-        _ptr(signal, ctypes.c_int32), _ptr(payload, ctypes.c_uint32),
-        _ptr(payload_bits, ctypes.c_int64), _ptr(payload_off, ctypes.c_int64),
+    total = lib.flacenc_pack_frames_recompute(
+        _ptr(blocks, ctypes.c_int32), _ptr(assign, ctypes.c_int32),
         _ptr(sf_type, ctypes.c_int32), _ptr(order, ctypes.c_int32),
         _ptr(qcoefs, ctypes.c_int32), _ptr(shift, ctypes.c_int32),
+        _ptr(rice_order, ctypes.c_int32), _ptr(rice_params, ctypes.c_int32),
         _ptr(ch_tag, ctypes.c_int32), _ptr(frame_numbers, ctypes.c_int64),
-        F, C, T, bps_base, precision,
+        F, C, T, P, bps_base, precision,
         bs_spec[0], bs_spec[1], bs_spec[2],
         sr_spec[0], sr_spec[1], sr_spec[2],
         ss_tag,
@@ -186,6 +175,56 @@ def pack_frames_from_device_payload(
     )
     assert total >= 0, "native packer capacity exceeded"
     return out[:total].tobytes(), sizes
+
+
+def estimate_entropy_strict(
+    errors: np.ndarray, warmup: int, partitions: int
+) -> Optional[int]:
+    """Sequential-f32 entropy estimate (reference stable-build semantics)."""
+    lib = _load()
+    if lib is None:
+        return None
+    fn = lib.flacenc_estimate_entropy
+    if getattr(fn, "argtypes", None) is None:
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ]
+    err = np.ascontiguousarray(errors, np.int32)
+    return int(fn(_ptr(err, ctypes.c_int32), len(err), warmup, partitions))
+
+
+def strict_fixed_order(
+    signals: np.ndarray, bps: np.ndarray, max_order: int, partitions: int
+):
+    """Strict ApproxEnt fixed-LPC order selection for N channels.
+
+    signals (N, T) int32, bps (N,) int32 ->
+    (order (N,) int32, est_bits (N,) int64); None if the lib is missing.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    fn = lib.flacenc_strict_fixed_order
+    if getattr(fn, "argtypes", None) is None:
+        fn.restype = None
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ]
+    signals = np.ascontiguousarray(signals, np.int32)
+    bps = np.ascontiguousarray(bps, np.int32)
+    N, T = signals.shape
+    order = np.zeros(N, np.int32)
+    est = np.zeros(N, np.int64)
+    fn(
+        _ptr(signals, ctypes.c_int32), _ptr(bps, ctypes.c_int32),
+        N, T, max_order, partitions,
+        _ptr(order, ctypes.c_int32), _ptr(est, ctypes.c_int64),
+    )
+    return order, est
 
 
 def lpc_synthesis(

@@ -142,6 +142,94 @@ static inline uint32_t zigzag(int32_t e) {
 
 enum SubframeType { T_CONSTANT = 0, T_VERBATIM = 1, T_FIXED = 2, T_LPC = 3 };
 
+// Shared frame-header writer (bitrepr.rs:373-419, fixed blocking).
+static inline void write_frame_header(
+    BitWriter& w, uint8_t* frame_start, int ch_tag, uint64_t frame_number,
+    int bs_tag, int bs_extra_bits, int bs_extra_val,
+    int sr_tag, int sr_extra_bits, int sr_extra_val, int ss_tag) {
+    w.put(0xFFF8u, 16);
+    w.put(((uint32_t)bs_tag << 4) | (uint32_t)sr_tag, 8);
+    w.put(((uint32_t)ch_tag << 4) | ((uint32_t)ss_tag << 1), 8);
+    put_utf8like(w, frame_number);
+    if (bs_extra_bits) w.put((uint32_t)bs_extra_val, bs_extra_bits);
+    if (sr_extra_bits) w.put((uint32_t)sr_extra_val, sr_extra_bits);
+    w.put(crc8_range(frame_start, w.pos), 8);
+}
+
+// Shared subframe writer for the errors-available case (bitrepr.rs:433-597).
+static inline void write_subframe(
+    BitWriter& w, const int32_t* sig, const int32_t* err,
+    int st, int ord, const int32_t* qc, int32_t shift_v,
+    int precision, int bps, int p_order, const int32_t* params, int T) {
+    if (st == T_CONSTANT) {
+        w.put(0x00u, 8);
+        w.put_twoc(sig[0], bps);
+        return;
+    }
+    if (st == T_VERBATIM) {
+        w.put(0x02u, 8);
+        for (int t = 0; t < T; ++t) w.put_twoc(sig[t], bps);
+        return;
+    }
+    if (st == T_FIXED) {
+        w.put(0x10u | ((uint32_t)ord << 1), 8);
+    } else {  // LPC
+        w.put(0x40u | ((uint32_t)(ord - 1) << 1), 8);
+    }
+    for (int t = 0; t < ord; ++t) w.put_twoc(sig[t], bps);
+    if (st == T_LPC) {
+        w.put((uint32_t)(precision - 1), 4);
+        w.put_twoc(shift_v, 5);
+        for (int k = 0; k < ord; ++k) w.put_twoc(qc[k], precision);
+    }
+
+    // residual (bitrepr.rs:530-597)
+    const int nparts = 1 << p_order;
+    const int part_len = T >> p_order;
+    bool use_rice2 = false;
+    for (int p = 0; p < nparts; ++p)
+        if (params[p] > 14) { use_rice2 = true; break; }
+    const int param_bits = use_rice2 ? 5 : 4;
+    w.put(use_rice2 ? 1u : 0u, 2);
+    w.put((uint32_t)p_order, 4);
+    int offset = 0;
+    for (int p = 0; p < nparts; ++p) {
+        const uint32_t rice_p = (uint32_t)params[p];
+        w.put(rice_p, param_bits);
+        int start = offset > ord ? offset : ord;
+        offset += part_len;
+        const uint32_t startbit = 1u << rice_p;
+        const int rp1 = (int)rice_p + 1;
+        for (int t = start; t < offset; ++t) {
+            const uint32_t z = zigzag(err[t]);
+            w.put_zeros(z >> rice_p);
+            w.put((z & (startbit - 1)) | startbit, rp1);
+        }
+    }
+}
+
+// Fixed-LPC difference cascade, wrapping i32, in place (coding.rs:178-197).
+// After `order` passes err[t] holds the order-`order` diff for t >= order
+// (lower entries are partial diffs the packer never reads).
+static inline void fixed_errors_inplace(uint32_t* err, int T, int order) {
+    for (int k = 0; k < order; ++k)
+        for (int t = T - 1; t >= 1; --t) err[t] -= err[t - 1];
+}
+
+// QLPC residual FIR, i64 accumulate >> shift, wrap to i32 (lpc.rs:306-390);
+// identical to the device kernel ops/lpc.py:compute_error for t >= order.
+static inline void lpc_errors(
+    const int32_t* sig, int T, int order, const int32_t* qc, int32_t shift_v,
+    int32_t* err) {
+    for (int t = 0; t < order; ++t) err[t] = 0;
+    for (int t = order; t < T; ++t) {
+        int64_t acc = 0;
+        for (int k = 0; k < order; ++k)
+            acc += (int64_t)qc[k] * (int64_t)sig[t - 1 - k];
+        err[t] = (int32_t)(uint32_t)((int64_t)sig[t] - (acc >> shift_v));
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -175,77 +263,21 @@ int64_t flacenc_pack_frames(
         if (total + worst_frame > out_capacity) return -1;
         uint8_t* frame_start = out + total;
         BitWriter w(frame_start);
+        write_frame_header(w, frame_start, ch_tag[f], (uint64_t)frame_numbers[f],
+                           bs_tag, bs_extra_bits, bs_extra_val,
+                           sr_tag, sr_extra_bits, sr_extra_val, ss_tag);
 
-        // ---- frame header (bitrepr.rs:373-419), fixed blocking ----
-        w.put(0xFFF8u, 16);
-        w.put(((uint32_t)bs_tag << 4) | (uint32_t)sr_tag, 8);
-        w.put(((uint32_t)ch_tag[f] << 4) | ((uint32_t)ss_tag << 1), 8);
-        put_utf8like(w, (uint64_t)frame_numbers[f]);
-        if (bs_extra_bits) w.put((uint32_t)bs_extra_val, bs_extra_bits);
-        if (sr_extra_bits) w.put((uint32_t)sr_extra_val, sr_extra_bits);
-        // header CRC-8 over the bytes written so far (byte-aligned here)
-        w.put(crc8_range(frame_start, w.pos), 8);
-
-        // ---- subframes ----
         int tag = ch_tag[f];
         for (int c = 0; c < C; ++c) {
             int bps = bps_base;
             if ((tag == 8 && c == 1) || (tag == 9 && c == 0) || (tag == 10 && c == 1))
                 bps += 1;  // side channel (datatype.rs:1145-1160)
             const size_t base = ((size_t)f * C + c) * T;
-            const int32_t* sig = signal + base;
-            const int32_t* err = errors + base;
-            const int st = sf_type[f * C + c];
-            const int ord = order[f * C + c];
-
-            if (st == T_CONSTANT) {
-                w.put(0x00u, 8);
-                w.put_twoc(sig[0], bps);
-                continue;
-            }
-            if (st == T_VERBATIM) {
-                w.put(0x02u, 8);
-                for (int t = 0; t < T; ++t) w.put_twoc(sig[t], bps);
-                continue;
-            }
-            if (st == T_FIXED) {
-                w.put(0x10u | ((uint32_t)ord << 1), 8);
-            } else {  // LPC
-                w.put(0x40u | ((uint32_t)(ord - 1) << 1), 8);
-            }
-            for (int t = 0; t < ord; ++t) w.put_twoc(sig[t], bps);
-            if (st == T_LPC) {
-                w.put((uint32_t)(precision - 1), 4);
-                w.put_twoc(shift[f * C + c], 5);
-                const int32_t* qc = qcoefs + ((size_t)f * C + c) * 24;
-                for (int k = 0; k < ord; ++k) w.put_twoc(qc[k], precision);
-            }
-
-            // ---- residual (bitrepr.rs:530-597) ----
-            const int p_order = rice_order[f * C + c];
-            const int nparts = 1 << p_order;
-            const int part_len = T >> p_order;
-            const int32_t* params = rice_params + ((size_t)f * C + c) * max_parts;
-            bool use_rice2 = false;
-            for (int p = 0; p < nparts; ++p)
-                if (params[p] > 14) { use_rice2 = true; break; }
-            const int param_bits = use_rice2 ? 5 : 4;
-            w.put(use_rice2 ? 1u : 0u, 2);
-            w.put((uint32_t)p_order, 4);
-            int offset = 0;
-            for (int p = 0; p < nparts; ++p) {
-                const uint32_t rice_p = (uint32_t)params[p];
-                w.put(rice_p, param_bits);
-                int start = offset > ord ? offset : ord;
-                offset += part_len;
-                const uint32_t startbit = 1u << rice_p;
-                const int rp1 = (int)rice_p + 1;
-                for (int t = start; t < offset; ++t) {
-                    const uint32_t z = zigzag(err[t]);
-                    w.put_zeros(z >> rice_p);
-                    w.put((z & (startbit - 1)) | startbit, rp1);
-                }
-            }
+            write_subframe(w, signal + base, errors + base,
+                           sf_type[f * C + c], order[f * C + c],
+                           qcoefs + ((size_t)f * C + c) * 24, shift[f * C + c],
+                           precision, bps, rice_order[f * C + c],
+                           rice_params + ((size_t)f * C + c) * max_parts, T);
         }
 
         w.align();
@@ -257,23 +289,27 @@ int64_t flacenc_pack_frames(
     return total;
 }
 
-
-// Packs F frames whose fixed/LPC residual payloads were already bit-packed
-// on the device (flacenc_tpu/ops/pack.py): the host writes headers, warmup
-// samples, and LPC parameters, then bit-blits each channel's payload
-// (method+order header, partition params, rice codes) from u32 words.
-int64_t flacenc_pack_frames_device(
-    const int32_t* signal,        // (F, C, T)
-    const uint32_t* payload,      // flat u32 words (big-bit-endian)
-    const int64_t* payload_bits,  // (F, C) payload length in bits
-    const int64_t* payload_off,   // (F, C) word offset into `payload`
-    const int32_t* sf_type,      // (F, C)
+// Packs F frames from DECISIONS ONLY: the device ships per-channel choices
+// (type/order/coefs/rice params) and this packer recomputes the stored
+// channel signals (mid/side rotation, datatype.rs:1145-1174) and the
+// chosen predictor's residual (fixed diff cascade coding.rs:178-197 / QLPC
+// FIR lpc.rs:306-390) from the raw input blocks the host already holds —
+// per-sample residuals never cross the device->host link.
+//
+// `blocks` is (F, C, T) raw input channels; `assign` is the stereo
+// assignment code per frame (0=LR 1=LS 2=RS 3=MS; ignored unless C==2).
+int64_t flacenc_pack_frames_recompute(
+    const int32_t* blocks,        // (F, C, T) raw input channels
+    const int32_t* assign,        // (F,)
+    const int32_t* sf_type,       // (F, C)
     const int32_t* order,         // (F, C)
     const int32_t* qcoefs,        // (F, C, 24)
     const int32_t* shift,         // (F, C)
+    const int32_t* rice_order,    // (F, C)
+    const int32_t* rice_params,   // (F, C, max_parts)
     const int32_t* ch_tag,        // (F,)
     const int64_t* frame_numbers, // (F,)
-    int32_t F, int32_t C, int32_t T,
+    int32_t F, int32_t C, int32_t T, int32_t max_parts,
     int32_t bps_base, int32_t precision,
     int32_t bs_tag, int32_t bs_extra_bits, int32_t bs_extra_val,
     int32_t sr_tag, int32_t sr_extra_bits, int32_t sr_extra_val,
@@ -281,62 +317,73 @@ int64_t flacenc_pack_frames_device(
     uint8_t* out, int64_t out_capacity,
     int64_t* frame_sizes) {
     const int64_t worst_frame = 32 + (int64_t)C * ((int64_t)T * 5 + 64);
+    // stereo candidate slots per assignment code (coding.rs:454-464)
+    static const int kSlot0[4] = {0, 0, 3, 2};  // L, L, S, M
+    static const int kSlot1[4] = {1, 3, 1, 3};  // R, S, R, S
+
+    int32_t* sig_buf = new int32_t[(size_t)2 * T];  // stereo M/S scratch
+    int32_t* err_buf = new int32_t[(size_t)T];
 
     int64_t total = 0;
     for (int f = 0; f < F; ++f) {
-        if (total + worst_frame > out_capacity) return -1;
+        if (total + worst_frame > out_capacity) {
+            delete[] sig_buf;
+            delete[] err_buf;
+            return -1;
+        }
         uint8_t* frame_start = out + total;
         BitWriter w(frame_start);
+        write_frame_header(w, frame_start, ch_tag[f], (uint64_t)frame_numbers[f],
+                           bs_tag, bs_extra_bits, bs_extra_val,
+                           sr_tag, sr_extra_bits, sr_extra_val, ss_tag);
 
-        w.put(0xFFF8u, 16);
-        w.put(((uint32_t)bs_tag << 4) | (uint32_t)sr_tag, 8);
-        w.put(((uint32_t)ch_tag[f] << 4) | ((uint32_t)ss_tag << 1), 8);
-        put_utf8like(w, (uint64_t)frame_numbers[f]);
-        if (bs_extra_bits) w.put((uint32_t)bs_extra_val, bs_extra_bits);
-        if (sr_extra_bits) w.put((uint32_t)sr_extra_val, sr_extra_bits);
-        w.put(crc8_range(frame_start, w.pos), 8);
+        // stored-channel signal pointers
+        const int32_t* stored[8];
+        if (C == 2) {
+            const int32_t* l = blocks + (size_t)f * 2 * T;
+            const int32_t* r = l + T;
+            const int a = assign[f];
+            const int32_t* cand[4] = {l, r, nullptr, nullptr};
+            const int s0 = kSlot0[a], s1 = kSlot1[a];
+            if (s0 >= 2 || s1 >= 2) {  // need mid and/or side
+                int32_t* mid = sig_buf;
+                int32_t* side = sig_buf + T;
+                for (int t = 0; t < T; ++t) {
+                    const int64_t lv = l[t], rv = r[t];
+                    mid[t] = (int32_t)((lv + rv) >> 1);
+                    side[t] = (int32_t)(lv - rv);
+                }
+                cand[2] = mid;
+                cand[3] = side;
+            }
+            stored[0] = cand[s0];
+            stored[1] = cand[s1];
+        } else {
+            for (int c = 0; c < C; ++c)
+                stored[c] = blocks + ((size_t)f * C + c) * T;
+        }
 
         int tag = ch_tag[f];
         for (int c = 0; c < C; ++c) {
             int bps = bps_base;
             if ((tag == 8 && c == 1) || (tag == 9 && c == 0) || (tag == 10 && c == 1))
                 bps += 1;
-            const size_t base = ((size_t)f * C + c) * T;
-            const int32_t* sig = signal + base;
-            const int st = sf_type[f * C + c];
-            const int ord = order[f * C + c];
-
-            if (st == T_CONSTANT) {
-                w.put(0x00u, 8);
-                w.put_twoc(sig[0], bps);
-                continue;
-            }
-            if (st == T_VERBATIM) {
-                w.put(0x02u, 8);
-                for (int t = 0; t < T; ++t) w.put_twoc(sig[t], bps);
-                continue;
-            }
+            const size_t idx = (size_t)f * C + c;
+            const int st = sf_type[idx];
+            const int ord = order[idx];
+            const int32_t* sig = stored[c];
+            const int32_t* err = nullptr;
             if (st == T_FIXED) {
-                w.put(0x10u | ((uint32_t)ord << 1), 8);
-            } else {
-                w.put(0x40u | ((uint32_t)(ord - 1) << 1), 8);
+                memcpy(err_buf, sig, (size_t)T * 4);
+                fixed_errors_inplace((uint32_t*)err_buf, T, ord);
+                err = err_buf;
+            } else if (st == T_LPC) {
+                lpc_errors(sig, T, ord, qcoefs + idx * 24, shift[idx], err_buf);
+                err = err_buf;
             }
-            for (int t = 0; t < ord; ++t) w.put_twoc(sig[t], bps);
-            if (st == T_LPC) {
-                w.put((uint32_t)(precision - 1), 4);
-                w.put_twoc(shift[f * C + c], 5);
-                const int32_t* qc = qcoefs + ((size_t)f * C + c) * 24;
-                for (int k = 0; k < ord; ++k) w.put_twoc(qc[k], precision);
-            }
-
-            // blit the device-packed payload
-            int64_t bits = payload_bits[f * C + c];
-            const uint32_t* src = payload + payload_off[f * C + c];
-            while (bits >= 32) {
-                w.put(*src++, 32);
-                bits -= 32;
-            }
-            if (bits > 0) w.put((*src) >> (32 - bits), (int)bits);
+            write_subframe(w, sig, err, st, ord,
+                           qcoefs + idx * 24, shift[idx], precision, bps,
+                           rice_order[idx], rice_params + idx * max_parts, T);
         }
 
         w.align();
@@ -345,8 +392,11 @@ int64_t flacenc_pack_frames_device(
         frame_sizes[f] = (int64_t)w.pos;
         total += (int64_t)w.pos;
     }
+    delete[] sig_buf;
+    delete[] err_buf;
     return total;
 }
+
 
 // Streaming MD5 is done in Python via hashlib (C speed already).
 
@@ -489,6 +539,90 @@ void flacenc_strict_qlpc(
     delete[] coefs;
     delete[] forward;
     delete[] forward_next;
+}
+
+}  // extern "C"
+
+namespace {
+
+// estimate_entropy with the reference STABLE build's exact f32 semantics
+// (coding.rs:200-227): fakesimd routes find_sum_abs_f32 through the scalar
+// head loop (arrayutils.rs:427-438 returns the whole slice as head), i.e. a
+// plain sequential f32 sum of |err|; xent uses mul_add + libm log2f; the
+// final cast `as usize` saturates NaN/negative to 0.
+static int64_t estimate_entropy_seq(
+    const int32_t* err, int T, int warmup, int partitions) {
+    const int psize = (T + partitions - 1) / partitions;
+    int offset = 0;
+    uint64_t acc = 0;
+    for (int p = 0; p < partitions; ++p) {
+        const int end = (offset + psize < T) ? offset + psize : T;
+        const int plen = end - offset;
+        if (end >= warmup) {
+            const int sample_count = ((end - warmup) < plen) ? (end - warmup) : plen;
+            float sum = 0.0f;
+            for (int t = offset; t < end; ++t) {
+                int32_t v = err[t];
+                // i32 abs wraps at INT32_MIN in release Rust
+                int32_t a = (v == INT32_MIN) ? v : (v < 0 ? -v : v);
+                sum += (float)a;
+            }
+            const float avg = sum * 2.0f / ((float)sample_count + 0.00001f);
+            const float geom_p = 1.0f / (avg + 1.0f);
+            const float xent =
+                fmaf(avg, -log2f(1.0f - geom_p), -log2f(geom_p));
+            const float contrib = xent * (float)sample_count;
+            if (contrib > 0.0f) {  // NaN / negative saturate to 0
+                acc += (contrib >= 1.8446744e19f) ? UINT64_MAX
+                                                  : (uint64_t)contrib;
+            }
+        }
+        offset = end;
+    }
+    return (int64_t)acc;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Sequential-f32 entropy estimate (strict mode; coding.rs:200-227).
+int64_t flacenc_estimate_entropy(
+    const int32_t* err, int32_t T, int32_t warmup, int32_t partitions) {
+    return estimate_entropy_seq(err, T, warmup, partitions);
+}
+
+// Strict-mode fixed-LPC order selection (coding.rs:266-287 ApproxEnt arm):
+// per candidate channel, runs the diff cascade and picks the order with the
+// minimal sequential-f32 entropy estimate + bps*order (first minimum wins,
+// like Rust's min_by_key). Outputs feed the device program so default-config
+// streams stay byte-identical to the reference stable build.
+void flacenc_strict_fixed_order(
+    const int32_t* signal,  // (N, T)
+    const int32_t* bps,     // (N,)
+    int32_t N, int32_t T, int32_t max_order, int32_t partitions,
+    int32_t* order_out,     // (N,)
+    int64_t* est_out) {     // (N,) chosen estimate incl. bps*order term
+    uint32_t* err = new uint32_t[(size_t)T];
+    for (int n = 0; n < N; ++n) {
+        memcpy(err, signal + (size_t)n * T, (size_t)T * 4);
+        int best_order = 0;
+        int64_t best = INT64_MAX;
+        for (int o = 0; o <= max_order; ++o) {
+            if (o > 0)
+                for (int t = T - 1; t >= 1; --t) err[t] -= err[t - 1];
+            const int64_t bits =
+                estimate_entropy_seq((const int32_t*)err, T, o, partitions) +
+                (int64_t)bps[n] * o;
+            if (bits < best) {
+                best = bits;
+                best_order = o;
+            }
+        }
+        order_out[n] = best_order;
+        est_out[n] = best;
+    }
+    delete[] err;
 }
 
 }  // extern "C"

@@ -1,0 +1,110 @@
+"""Packer-path parity: python oracle vs C++ ("native") vs decisions-only
+C++ recompute ("native2", the default via packer="auto").
+
+native2 never ships residuals over the device link — the C++ packer
+recomputes stored channels (M/S) and the chosen predictor's residual from
+the raw blocks (packer.cpp:flacenc_pack_frames_recompute), so its byte
+output must match the oracle exactly, including when residuals exceed
+int16 (the case the old "native" path flags with `fits16` and recomputes
+in Python).
+"""
+
+import numpy as np
+import pytest
+
+from flacenc_tpu import config, native, sigen, source
+from flacenc_tpu.component import decode_stream, parse_stream
+from flacenc_tpu.models import batch_encoder as be
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native packer library unavailable"
+)
+
+
+def _stereo_signal(n, bps, noise=0.02):
+    x = np.zeros(2 * n, np.int32)
+    x[0::2] = sigen.Sine(128, 0.4).noise_with_seed(1, noise).to_vec_quantized(bps, n)
+    x[1::2] = sigen.Sine(130, 0.4).noise_with_seed(2, noise).to_vec_quantized(bps, n)
+    return x
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_stereo_packer_matrix_byte_identical(strict):
+    n = 1024 * 5 + 321  # exercises the ragged-tail host epilogue too
+    x = _stereo_signal(n, 16)
+    cfg = config.Encoder().into_verified()
+    outs = {}
+    for packer in ("python", "native", "native2"):
+        s = be.encode_with_fixed_block_size(
+            cfg, source.MemSource(x, 2, 16, 44100), 1024,
+            batch_size=4, packer=packer, strict_lpc=strict,
+        )
+        outs[packer] = s.to_bytes()
+    assert outs["python"] == outs["native"] == outs["native2"]
+    assert np.array_equal(decode_stream(parse_stream(outs["native2"])), x)
+
+
+@pytest.mark.parametrize("nch,bps", [(1, 16), (3, 8), (2, 24)])
+def test_multichannel_and_bps_native2(nch, bps):
+    n = 1024 * 3
+    x = np.zeros(nch * n, np.int32)
+    for ch in range(nch):
+        x[ch::nch] = (
+            sigen.Sine(97 + 5 * ch, 0.5)
+            .noise_with_seed(ch, 0.05)
+            .to_vec_quantized(bps, n)
+        )
+    cfg = config.Encoder().into_verified()
+    d_py = be.encode_with_fixed_block_size(
+        cfg, source.MemSource(x, nch, bps, 48000), 1024,
+        batch_size=2, packer="python",
+    ).to_bytes()
+    d_n2 = be.encode_with_fixed_block_size(
+        cfg, source.MemSource(x, nch, bps, 48000), 1024,
+        batch_size=2, packer="native2",
+    ).to_bytes()
+    assert d_n2 == d_py
+    assert np.array_equal(decode_stream(parse_stream(d_n2)), x)
+
+
+def test_native2_handles_residuals_beyond_int16():
+    """24-bit heavy noise drives side-channel residuals past int16 — the
+    recompute path must stay byte-exact without any fallback."""
+    n = 2048 * 2
+    x = np.zeros(2 * n, np.int32)
+    for ch in range(2):
+        x[ch::2] = (
+            sigen.Sine(97 + ch, 0.6).noise_with_seed(ch, 0.2)
+            .to_vec_quantized(24, n)
+        )
+    cfg = config.Encoder().into_verified()
+    d_py = be.encode_with_fixed_block_size(
+        cfg, source.MemSource(x, 2, 24, 96000), 2048,
+        batch_size=2, packer="python",
+    ).to_bytes()
+    d_n2 = be.encode_with_fixed_block_size(
+        cfg, source.MemSource(x, 2, 24, 96000), 2048,
+        batch_size=2, packer="native2",
+    ).to_bytes()
+    assert d_n2 == d_py
+    assert np.array_equal(decode_stream(parse_stream(d_n2)), x)
+
+
+def test_native2_bitcount_and_experimental_configs():
+    n = 1024 * 3
+    x = _stereo_signal(n, 16, noise=0.05)
+    for toml in (
+        "[subframe_coding.fixed.order_sel]\ntype = \"BitCount\"\n",
+        "[subframe_coding.qlpc]\nuse_direct_mse = true\n",
+        "[stereo_coding]\nuse_midside = false\n",
+    ):
+        cfg = config.Encoder.from_toml(toml).into_verified()
+        d_py = be.encode_with_fixed_block_size(
+            cfg, source.MemSource(x, 2, 16, 44100), 1024,
+            batch_size=4, packer="python",
+        ).to_bytes()
+        d_n2 = be.encode_with_fixed_block_size(
+            cfg, source.MemSource(x, 2, 16, 44100), 1024,
+            batch_size=4, packer="native2",
+        ).to_bytes()
+        assert d_n2 == d_py, toml
