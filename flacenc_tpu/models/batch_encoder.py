@@ -186,7 +186,10 @@ def _subframe_candidates(cfg, sig, bps_k, block_size, window, ext_qlpc=None,
             # strict mode: quantized parameters were computed host-side with
             # exact stable-reference float semantics (native strict_qlpc)
             qcoefs, q_order, q_shift = ext_qlpc
-            lpc_err = ops_lpc.compute_error(qcoefs, q_order, q_shift, sig)
+            lpc_err = ops_lpc.compute_error(
+                qcoefs, q_order, q_shift, sig,
+                max_taps=sub.qlpc.lpc_order,
+            )
             lpc_rice = ops_rice.find_partitioned_rice_parameters(
                 lpc_err, q_order, T, max_p
             )
@@ -221,7 +224,10 @@ def _subframe_candidates(cfg, sig, bps_k, block_size, window, ext_qlpc=None,
             qcoefs, q_order, q_shift = ops_lpc.quantize_parameters(
                 coefs, sub.qlpc.quant_precision
             )
-            lpc_err = ops_lpc.compute_error(qcoefs, q_order, q_shift, sig)
+            lpc_err = ops_lpc.compute_error(
+                qcoefs, q_order, q_shift, sig,
+                max_taps=sub.qlpc.lpc_order,
+            )
             lpc_rice = ops_rice.find_partitioned_rice_parameters(
                 lpc_err, q_order, T, max_p
             )

@@ -166,17 +166,22 @@ def quantize_parameters(
 
 
 def compute_error(
-    qcoefs: jnp.ndarray, order: jnp.ndarray, shift: jnp.ndarray, signal: jnp.ndarray
+    qcoefs: jnp.ndarray, order: jnp.ndarray, shift: jnp.ndarray, signal: jnp.ndarray,
+    max_taps: int = MAX_LPC_ORDER,
 ) -> jnp.ndarray:
     """QLPC residual FIR (lpc.rs:306-390), i64-exact, wrapped to i32.
 
     qcoefs: (..., MAX_LPC_ORDER) i32 (zeros beyond order); signal (..., T).
     err[t] = x[t] - ((sum_k c[k] * x[t-1-k]) >> shift) for t >= order, else 0.
+    `max_taps` statically caps the unrolled FIR at the config's lpc_order
+    (quantize_parameters zero-truncates coefficients beyond it, so the
+    skipped taps contribute exactly zero); default config order is 10,
+    saving 14/24 of the i64 multiply-add passes.
     """
     x = signal.astype(jnp.int64)
     T = signal.shape[-1]
     acc = jnp.zeros_like(x)
-    for k in range(MAX_LPC_ORDER):
+    for k in range(min(max_taps, MAX_LPC_ORDER)):
         c = qcoefs[..., k].astype(jnp.int64)[..., None]
         shifted = jnp.pad(
             x[..., : T - k - 1], [(0, 0)] * (x.ndim - 1) + [(k + 1, 0)]

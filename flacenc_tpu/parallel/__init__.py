@@ -7,7 +7,13 @@ double-buffered (`pipeline.py`), with ordered frame reassembly on the host
 (the `ParSink` BTreeMap analogue is just list order).
 """
 
-from .mesh import block_mesh, shard_encoder_fn
+from .mesh import block_mesh, shard_corpus, shard_encoder_fn
 from .pipeline import PipelineStats, encode_corpus
 
-__all__ = ["block_mesh", "shard_encoder_fn", "encode_corpus", "PipelineStats"]
+__all__ = [
+    "block_mesh",
+    "shard_corpus",
+    "shard_encoder_fn",
+    "encode_corpus",
+    "PipelineStats",
+]
