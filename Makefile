@@ -16,6 +16,7 @@ test-fast:
 
 fuzz:
 	$(PY) fuzz/run_fuzz.py --iters 200
+	$(PY) fuzz/run_fuzz.py --mutate --iters 300
 
 bench:
 	$(PY) bench.py

@@ -158,6 +158,53 @@ def one_device_case(seed: int, block_size: int = 512, strict: bool = False) -> N
     assert np.array_equal(decode_stream(parse_stream(d)), interleaved)
 
 
+_MUTATE_BASE = None
+
+
+def one_mutation_case(seed: int) -> None:
+    """Parser robustness on malformed input (parser.rs:183-236 discipline):
+    mutate / truncate a valid stream; parsing must raise ParseError or
+    succeed (then decode must not crash) — single-bit flips inside the
+    frame region must always be caught (CRC-8/CRC-16 guarantee)."""
+    from flacenc_tpu.component.parser import ParseError
+    from flacenc_tpu.errors import FlacencError
+
+    global _MUTATE_BASE
+    if _MUTATE_BASE is None:
+        rng0 = np.random.default_rng(0)
+        interleaved = np.zeros(3000 * 2, dtype=np.int32)
+        for ch in range(2):
+            interleaved[ch::2] = random_signal_gen(rng0).to_vec_quantized(16, 3000)
+        src = source.MemSource(interleaved, 2, 16, 44100)
+        _MUTATE_BASE = re.encode_with_fixed_block_size(
+            config.Encoder().into_verified(), src, 512
+        ).to_bytes()
+    data = _MUTATE_BASE
+    frames_start = 4 + 4 + 34
+    rng = np.random.default_rng(seed)
+    mode = seed % 3
+    buf = bytearray(data)
+    if mode == 0:  # single-bit flip in the frame region: MUST be detected
+        pos = int(rng.integers(frames_start, len(buf)))
+        buf[pos] ^= 1 << int(rng.integers(0, 8))
+        try:
+            parse_stream(bytes(buf))
+        except ParseError:
+            return
+        raise AssertionError(
+            f"bit flip at byte {pos} not detected (seed={seed})"
+        )
+    if mode == 1:  # arbitrary byte garbage anywhere: must never crash
+        for _ in range(int(rng.integers(1, 8))):
+            buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+    else:  # truncation
+        buf = buf[: int(rng.integers(0, len(buf)))]
+    try:
+        decode_stream(parse_stream(bytes(buf)))
+    except FlacencError:
+        pass
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=100)
@@ -172,10 +219,17 @@ def main() -> int:
         "--strict", action="store_true",
         help="with --device: use strict-float QLPC in both encoders",
     )
-    args = ap.parse_args()
-    case = (lambda i: one_device_case(i, strict=args.strict)) if args.device else (
-        lambda i: one_case(i, args.max_block)
+    ap.add_argument(
+        "--mutate", action="store_true",
+        help="fuzz the parser with mutated/truncated streams",
     )
+    args = ap.parse_args()
+    if args.mutate:
+        case = one_mutation_case
+    elif args.device:
+        case = lambda i: one_device_case(i, strict=args.strict)
+    else:
+        case = lambda i: one_case(i, args.max_block)
     if args.seed is not None:
         case(args.seed)
         print(f"seed {args.seed} ok")
@@ -184,7 +238,7 @@ def main() -> int:
         try:
             case(i)
         except Exception:
-            flag = " --device" if args.device else ""
+            flag = " --mutate" if args.mutate else (" --device" if args.device else "")
             print(f"FUZZ FAILURE at seed={i}; replay: python fuzz/run_fuzz.py{flag} --seed {i}")
             raise
         if i % 10 == 0:

@@ -12,3 +12,10 @@ from run_fuzz import one_case
 def test_fuzz_slice():
     for seed in range(12):
         one_case(seed, max_block=1024)
+
+
+def test_mutation_fuzz_slice():
+    from run_fuzz import one_mutation_case
+
+    for seed in range(30):
+        one_mutation_case(seed)
