@@ -27,6 +27,7 @@ from .wav import read_wav, write_wav
 # sysexits-style codes (main.rs:157-170)
 EX_USAGE = 64
 EX_DATAERR = 65
+EX_NOINPUT = 66
 EX_SOFTWARE = 70
 EX_IOERR = 74
 
@@ -210,6 +211,11 @@ def main(argv=None) -> int:
             return main_corpus(args)
         return main_dec(args)
     except FileNotFoundError as e:
+        # the reference maps input-open failures to EX_NOINPUT
+        # (flacenc-bin/src/main.rs:226,281-293)
+        display.error(str(e))
+        return EX_NOINPUT
+    except OSError as e:
         display.error(str(e))
         return EX_IOERR
     except FlacencError as e:

@@ -1,0 +1,91 @@
+"""CLI end-to-end tests (flacenc-bin analogues).
+
+- default-subcommand insertion: `flacenc in.wav -o out.flac` behaves like
+  `flacenc encode ...` (flacenc-bin/src/main.rs:404-418, arg_parser test
+  main.rs:449-…)
+- encode -> decode -> sample-exact WAV compare across channel counts and
+  bit depths, incl. odd sample rates (integration_encoder_decoder,
+  flacenc-bin/src/main.rs:571-696)
+- TOML config load + dump (main.rs:207-247)
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from flacenc_tpu import sigen
+from flacenc_tpu.cli import main
+from flacenc_tpu.source import FrameBuf
+from flacenc_tpu.wav import WavFileSource, write_wav
+
+
+def _make_wav(path, channels, bps, rate, n, seed=0):
+    x = np.zeros(channels * n, np.int32)
+    for ch in range(channels):
+        x[ch::channels] = (
+            sigen.Sine(100 + 7 * ch + seed, 0.4)
+            .noise_with_seed(seed * 10 + ch, 0.02)
+            .to_vec_quantized(bps, n)
+        )
+    write_wav(str(path), x, channels, bps, rate)
+    return x
+
+
+def _read_wav(path, channels, n):
+    src = WavFileSource(str(path))
+    fb = FrameBuf(channels, n)
+    got = src.read_samples(n, fb)
+    assert got == n
+    return np.ascontiguousarray(fb.samples.T).reshape(-1)
+
+
+def test_default_subcommand_inserted(tmp_path):
+    # main.rs:404-418: bare `flacenc in.wav -o out.flac` means `encode`
+    _make_wav(tmp_path / "in.wav", 2, 16, 44100, 3000)
+    rc = main([str(tmp_path / "in.wav"), "-o", str(tmp_path / "out.flac")])
+    assert rc == 0
+    assert (tmp_path / "out.flac").read_bytes()[:4] == b"fLaC"
+
+
+@pytest.mark.parametrize(
+    "channels,bps,rate",
+    [(1, 16, 44100), (2, 16, 16001), (3, 24, 95800), (2, 8, 8000)],
+)
+def test_cli_encode_decode_roundtrip(tmp_path, channels, bps, rate):
+    # flacenc-bin/src/main.rs:571-696 matrix (reduced grid)
+    n = 2000
+    x = _make_wav(tmp_path / "in.wav", channels, bps, rate, n, seed=channels)
+    rc = main([
+        "encode", str(tmp_path / "in.wav"), "-o", str(tmp_path / "out.flac"),
+    ])
+    assert rc == 0
+    rc = main([
+        "decode", str(tmp_path / "out.flac"), "-o", str(tmp_path / "back.wav"),
+    ])
+    assert rc == 0
+    back = _read_wav(tmp_path / "back.wav", channels, n)
+    assert np.array_equal(back, x)
+
+
+def test_cli_config_load_and_dump(tmp_path):
+    # main.rs:207-247
+    cfg_path = tmp_path / "cfg.toml"
+    cfg_path.write_text("block_size = 1024\n[subframe_coding.qlpc]\nlpc_order = 6\n")
+    _make_wav(tmp_path / "in.wav", 2, 16, 44100, 2100)
+    dump = tmp_path / "dump.toml"
+    rc = main([
+        "encode", str(tmp_path / "in.wav"), "-o", str(tmp_path / "out.flac"),
+        "--config", str(cfg_path), "--dump-config", str(dump),
+    ])
+    assert rc == 0
+    from flacenc_tpu import config
+
+    dumped = config.Encoder.from_toml(dump.read_text())
+    assert dumped.block_size == 1024
+    assert dumped.subframe_coding.qlpc.lpc_order == 6
+
+
+def test_cli_missing_input_exits_noinput(tmp_path):
+    rc = main(["encode", str(tmp_path / "nope.wav"), "-o", str(tmp_path / "o.flac")])
+    assert rc == 66  # EX_NOINPUT
