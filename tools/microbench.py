@@ -1,9 +1,14 @@
 """Per-kernel microbenchmarks (the reference's ``#[bench]`` suite analogue,
 e.g. report/bench_results.txt entries).
 
-Times each device kernel standalone on the current backend (per-frame cost
-at batch 64, block 4096) plus the host packer and MD5. Run:
-    python tools/microbench.py [--batch 64]
+Timing methodology: each kernel is dispatched in chains of two lengths with
+ONE fetch of the last (tiny, summed) output — TPU executes in-order, so the
+last result bounds the chain — and the difference removes the fixed
+per-fetch link latency. On tunneled devices that latency is ~30-70 ms and
+naive per-call timing measures only it (round-1 lesson).
+
+Run:
+    python tools/microbench.py [--batch 128] [--block 4096]
 """
 
 from __future__ import annotations
@@ -20,10 +25,11 @@ import numpy as np
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--block", type=int, default=4096)
+    ap.add_argument("--reps", type=int, default=40)
     args = ap.parse_args()
-    B, T = args.batch, args.block
+    B, T, reps = args.batch, args.block, args.reps
 
     import jax
     import jax.numpy as jnp
@@ -41,15 +47,18 @@ def main() -> int:
     def bench(name, fn, *fargs):
         f = jax.jit(lambda *a: jax.tree.map(lambda x: x.sum(), fn(*a)))
         jax.device_get(f(*fargs))  # compile + warm
-        reps = 5
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            r = jax.device_get(f(*fargs))
-        dt = (time.perf_counter() - t0) / reps
+        ts = {}
+        for n in (10, 10 + reps):
+            t0 = time.perf_counter()
+            outs = [f(*fargs) for _ in range(n)]
+            jax.device_get(outs[-1])
+            ts[n] = time.perf_counter() - t0
+        dt = max((ts[10 + reps] - ts[10]) / reps, 1e-9)
         per_frame_us = dt / B * 1e6
-        print(f"{name:34s} {dt*1e3:8.2f} ms/batch  {per_frame_us:8.2f} us/frame")
+        print(f"{name:34s} {dt*1e3:8.3f} ms/batch  {per_frame_us:8.2f} us/frame")
 
-    print(f"# device kernels (batch={B}, 4 candidate channels, T={T})")
+    print(f"# device kernels (batch={B}, 4 candidate channels, T={T}, "
+          f"chained x{reps})")
     bench("fixed_lpc_errors (5 orders)", oF.fixed_lpc_errors, sig)
     bench("estimate_entropy x5", lambda s: [
         oF.estimate_entropy(s, warm, 16, T) for _ in range(5)
@@ -57,32 +66,43 @@ def main() -> int:
     bench("windowing f32", lambda s: oL.apply_window(s, win), sig)
     bench("autocorr f64 (order 10)",
           lambda s: oL.auto_correlation(oL.apply_window(s, win), 10), sig)
-    bench("levinson f64 (order 10)",
+    bench("+levinson f64 (order 10)",
           lambda s: oL.levinson(oL.auto_correlation(oL.apply_window(s, win), 10), 10), sig)
     qc = jnp.asarray(rng.integers(-16000, 16000, (B, 4, 24), np.int32))
     order = jnp.full((B, 4), 10, jnp.int32)
     shift = jnp.full((B, 4), 12, jnp.int32)
-    bench("compute_error i64 FIR", oL.compute_error, qc, order, shift, sig)
+    bench("compute_error i64 FIR (10 taps)",
+          lambda *a: oL.compute_error(*a, max_taps=10), qc, order, shift, sig)
     bench("rice search (full)", lambda e: oR.find_partitioned_rice_parameters(
         e, warm, T, 30), sig)
     bench("direct-MSE LPC (order 10)",
           lambda s: oL.lpc_direct_mse(oL.apply_window(s, win), 10), sig)
 
-    # host-side stages
     from flacenc_tpu import native
     from flacenc_tpu.models import batch_encoder as be
 
     cfg = config.Encoder()
-    fn = be.build_encoder_fn(cfg, 2, 16, T)
+    fn = be._cached_encoder_fn(cfg.to_toml(), 2, 16, T, decisions_only=True)
     blocks = rng.integers(-(1 << 14), 1 << 14, (B, 2, T), np.int32)
-    enc = fn(jnp.asarray(blocks.astype(np.int16)))
-    jax.device_get(enc.sf_bits)
-    t0 = time.perf_counter()
-    frames = be.pack_frames_native(enc, blocks, np.arange(B), cfg, 2, 16, 44100, T) \
-        if native.available() else None
-    dt = time.perf_counter() - t0
-    if frames:
-        print(f"\n# host packer: {dt*1e3:.2f} ms/batch "
+    dblocks = jnp.asarray(blocks.astype(np.int16))
+    jax.device_get(fn(dblocks).sf_bits)
+    ts = {}
+    for n in (10, 10 + reps):
+        t0 = time.perf_counter()
+        outs = [fn(dblocks) for _ in range(n)]
+        jax.device_get(outs[-1].sf_bits)
+        ts[n] = time.perf_counter() - t0
+    dt = max((ts[10 + reps] - ts[10]) / reps, 1e-9)
+    print(f"{'FULL encode step (decisions)':34s} {dt*1e3:8.3f} ms/batch  "
+          f"{(B*T/44100)/dt:8.0f} x realtime")
+
+    # host-side stages (single core)
+    if native.available():
+        enc = be.DeviceDecisions(**jax.device_get(fn(dblocks)._asdict()))
+        t0 = time.perf_counter()
+        be.pack_frames_decisions(enc, blocks, np.arange(B), cfg, 2, 16, 44100, T)
+        dt = time.perf_counter() - t0
+        print(f"\n# host packer (decisions recompute): {dt*1e3:.2f} ms/batch "
               f"({B*T/44100/dt:.0f}x realtime standalone)")
 
     import hashlib

@@ -18,7 +18,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace-dir", default="/tmp/flacenc_trace")
     ap.add_argument("--seconds", type=float, default=10.0)
-    ap.add_argument("--packer", default="auto")
+    ap.add_argument("--packer", default="auto",
+                    choices=["auto", "native2", "native", "python"])
     args = ap.parse_args()
 
     import jax
