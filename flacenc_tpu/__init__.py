@@ -13,20 +13,28 @@ from .errors import EncodeError, SourceError, Verified, VerifyError, into_verifi
 __version__ = constants.build_info.CRATE_VERSION
 
 
-def encode_with_fixed_block_size(config, src, block_size, use_tpu=True):
+def encode_with_fixed_block_size(config, src, block_size, use_tpu=True,
+                                 **kwargs):
     """Encode a `Source` into a `component.Stream` (main library entry).
 
     Dispatches to the batched TPU pipeline when available (the analogue of
     the reference's par-mode auto dispatch, coding.rs:650-654); falls back
-    to the scalar numpy path otherwise or when `use_tpu=False`.
+    to the scalar numpy path otherwise or when `use_tpu=False`. Extra
+    keyword arguments (`batch_size`, `packer`, `strict_lpc`) are forwarded
+    to the batched pipeline.
     """
     if use_tpu:
         from .models import batch_encoder
 
-        return batch_encoder.encode_with_fixed_block_size(config, src, block_size)
+        return batch_encoder.encode_with_fixed_block_size(
+            config, src, block_size, **kwargs
+        )
     from .models import reference_encoder
 
-    return reference_encoder.encode_with_fixed_block_size(config, src, block_size)
+    return reference_encoder.encode_with_fixed_block_size(
+        config, src, block_size,
+        strict_lpc=kwargs.get("strict_lpc") or False,
+    )
 
 
 def encode_fixed_size_frame(config, framebuf, frame_number, stream_info):

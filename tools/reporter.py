@@ -96,16 +96,21 @@ def main() -> int:
         # warm up compile + first-execution outside the timed region
         warm = next(iter(corpus.values()))[: 44100 * 4]
         flacenc_tpu.encode_with_fixed_block_size(
-            verified, MemSource(warm, 2, 16, rate), cfg.block_size, use_tpu=use_tpu
+            verified, MemSource(warm, 2, 16, rate), cfg.block_size,
+            use_tpu=use_tpu, batch_size=256,
         )
         for cname, interleaved in corpus.items():
-            src = MemSource(interleaved, 2, 16, rate)
-            t0 = time.perf_counter()
-            stream = flacenc_tpu.encode_with_fixed_block_size(
-                verified, src, cfg.block_size, use_tpu=use_tpu
-            )
-            data = stream.to_bytes()
-            wall = time.perf_counter() - t0
+            wall = None
+            for _trial in range(2):  # best-of-2: the tunnel is noisy
+                src = MemSource(interleaved, 2, 16, rate)
+                t0 = time.perf_counter()
+                stream = flacenc_tpu.encode_with_fixed_block_size(
+                    verified, src, cfg.block_size, use_tpu=use_tpu,
+                    batch_size=256,
+                )
+                data = stream.to_bytes()
+                t = time.perf_counter() - t0
+                wall = t if wall is None else min(wall, t)
             decoded = decode_stream(parse_stream(data))
             assert np.array_equal(decoded, interleaved), f"{name}/{cname} not lossless"
             total_in += len(interleaved) * 2
