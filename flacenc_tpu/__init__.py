@@ -31,9 +31,13 @@ def encode_with_fixed_block_size(config, src, block_size, use_tpu=True,
         )
     from .models import reference_encoder
 
+    strict = kwargs.get("strict_lpc")
+    if strict is None:
+        import os
+
+        strict = os.environ.get("FLACENC_STRICT_LPC", "") == "1"
     return reference_encoder.encode_with_fixed_block_size(
-        config, src, block_size,
-        strict_lpc=kwargs.get("strict_lpc") or False,
+        config, src, block_size, strict_lpc=strict
     )
 
 

@@ -3,7 +3,8 @@
 Mirrors the reference CLI (``/root/reference/flacenc-bin/src/main.rs``):
 `encode` is the default subcommand; TOML config load (`--config`) and dump
 (`--dump-config`); `decode` parses, optionally dumps the component tree
-(`--dump-struct`, JSON here instead of msgpack), writes a WAV, and verifies
+(`--dump-struct`, msgpack like the reference; `.json` extension switches
+to JSON), writes a WAV, and verifies
 the stream MD5.
 """
 
@@ -64,7 +65,10 @@ def _build_parser() -> argparse.ArgumentParser:
     dec = sub.add_parser("decode", help="decode FLAC to WAV (experimental)")
     dec.add_argument("source", help="input FLAC file")
     dec.add_argument("-o", "--output", required=True, help="output WAV file")
-    dec.add_argument("--dump-struct", help="dump the parsed component tree (JSON)")
+    dec.add_argument(
+        "--dump-struct",
+        help="dump the parsed component tree (msgpack; .json for JSON)",
+    )
     dec.add_argument("--no-verify", action="store_true", help="skip CRC/MD5 checks")
     return p
 
@@ -175,8 +179,16 @@ def main_dec(args) -> int:
         data = f.read()
     stream = parse_stream(data, verify_crc=not args.no_verify)
     if args.dump_struct:
-        with open(args.dump_struct, "w") as f:
-            json.dump(_stream_struct(stream), f, indent=1)
+        tree = _stream_struct(stream)
+        if args.dump_struct.endswith(".json"):
+            with open(args.dump_struct, "w") as f:
+                json.dump(tree, f, indent=1)
+        else:
+            # rmp-serde msgpack analogue (flacenc-bin/src/main.rs:301-316)
+            from .utils import msgpack
+
+            with open(args.dump_struct, "wb") as f:
+                f.write(msgpack.packb(tree))
     decoded = decode_stream(stream)
     info = stream.stream_info()
     md5_ok = True

@@ -316,6 +316,7 @@ int64_t flacenc_pack_frames_recompute(
     int32_t ss_tag,
     uint8_t* out, int64_t out_capacity,
     int64_t* frame_sizes) {
+    if (C < 1 || C > 8) return -2;  // MAX_CHANNELS (constant.rs:60)
     const int64_t worst_frame = 32 + (int64_t)C * ((int64_t)T * 5 + 64);
     // stereo candidate slots per assignment code (coding.rs:454-464)
     static const int kSlot0[4] = {0, 0, 3, 2};  // L, L, S, M
@@ -342,7 +343,7 @@ int64_t flacenc_pack_frames_recompute(
         if (C == 2) {
             const int32_t* l = blocks + (size_t)f * 2 * T;
             const int32_t* r = l + T;
-            const int a = assign[f];
+            const int a = assign[f] & 3;  // codes 0..3 (defensive mask)
             const int32_t* cand[4] = {l, r, nullptr, nullptr};
             const int s0 = kSlot0[a], s1 = kSlot1[a];
             if (s0 >= 2 || s1 >= 2) {  // need mid and/or side
