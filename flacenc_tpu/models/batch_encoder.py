@@ -715,6 +715,32 @@ def _strict_ext_arrays(chunk: np.ndarray, cfg, nchannels: int, bps: int, window)
     return tuple(ext)
 
 
+def _auto_mesh(mesh, batch_size: int):
+    """Resolve the `mesh` argument: "auto" shards the batch axis across all
+    local devices when there is more than one and the batch divides evenly
+    (frame-level data parallelism over ICI, the par.rs worker-pool map —
+    SURVEY §2.2). Returns a NamedSharding for `(B, ...)` inputs or None."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel import mesh as pmesh
+
+    if mesh == "auto":
+        if jax.process_count() > 1:
+            # multi-process (DCN) runs encode per host on its corpus shard;
+            # sharding a host-local batch across processes would require
+            # identical data on every host
+            return None
+        devices = jax.local_devices()
+        if len(devices) > 1 and batch_size % len(devices) == 0:
+            mesh = pmesh.block_mesh(devices)
+        else:
+            return None
+    if mesh is None:
+        return None
+    return NamedSharding(mesh, P(pmesh.BLOCK_AXIS))
+
+
 def encode_with_fixed_block_size(
     config: Verified[config_mod.Encoder] | config_mod.Encoder,
     src: Source,
@@ -722,6 +748,7 @@ def encode_with_fixed_block_size(
     batch_size: int = DEFAULT_BATCH,
     packer: str = "auto",
     strict_lpc: Optional[bool] = None,
+    mesh="auto",
 ) -> "Stream":
     """Batched TPU stream encoder (public entry).
 
@@ -733,6 +760,11 @@ def encode_with_fixed_block_size(
     host-side with exact stable-reference float semantics (sequential-FMA
     f64; native strict_qlpc) so streams are byte-identical to the
     reference's stable build for matching configs.
+
+    `mesh`: "auto" (default) shards each batch across all local devices on
+    the leading block axis when possible; pass a `jax.sharding.Mesh` with a
+    "blocks" axis to control placement, or None to pin to one device.
+    Blocks are independent, so sharding changes throughput, never bytes.
     """
     import os as _os
 
@@ -789,13 +821,23 @@ def encode_with_fixed_block_size(
     io_pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
     fn = None  # built lazily on the first full batch
 
+    sharding = _auto_mesh(mesh, batch_size)
+
+    def put(a):
+        if sharding is not None:
+            return jax.device_put(a, sharding)
+        return jnp.asarray(a)
+
     def upload_dispatch_fetch(chunk, ext):
-        """Runs on the io_pool: host->device, dispatch, device->host."""
+        """Runs on the io_pool: host->device, dispatch, device->host.
+
+        With a mesh, inputs are placed batch-sharded and the jitted program
+        runs SPMD across the devices (no collectives in the hot path)."""
         up = chunk.astype(np.int16) if bps <= 16 else chunk
         if ext is not None:
-            enc = fn(jnp.asarray(up), *map(jnp.asarray, ext))
+            enc = fn(put(up), *map(put, ext))
         else:
-            enc = fn(jnp.asarray(up))
+            enc = fn(put(up))
         return type(enc)(**jax.device_get(enc._asdict()))
 
     def drain_one():

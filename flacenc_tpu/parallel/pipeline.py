@@ -104,13 +104,16 @@ def encode_corpus(
     block_size: int,
     batch_size: int = 64,
     packer: str = "auto",
+    mesh="auto",
 ) -> Tuple[Dict[str, Stream], PipelineStats]:
     """Encodes many sources, streaming blocks into shared device batches.
 
     All sources must share (channels, bits_per_sample); sample rates may
     differ (the rate only affects frame headers; batches are grouped per
     rate). Memory stays bounded by the pipeline depth regardless of corpus
-    size. Returns {name: Stream} plus pipeline stats.
+    size. `mesh` shards batches across local devices like
+    `batch_encoder.encode_with_fixed_block_size`. Returns {name: Stream}
+    plus pipeline stats.
     """
     import concurrent.futures
 
@@ -160,9 +163,15 @@ def encode_corpus(
     # pending blocks grouped by sample rate: rate -> (items, blocks)
     pending: Dict[int, List[Tuple[int, int, np.ndarray]]] = {}
 
+    sharding = be._auto_mesh(mesh, batch_size)
+
     def upload_dispatch_fetch(chunk: np.ndarray):
         up = chunk.astype(np.int16) if bps <= 16 else chunk
-        enc = fn(jnp.asarray(up))
+        if sharding is not None:
+            d = jax.device_put(up, sharding)
+        else:
+            d = jnp.asarray(up)
+        enc = fn(d)
         return type(enc)(**jax.device_get(enc._asdict()))
 
     def drain_one():

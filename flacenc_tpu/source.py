@@ -163,7 +163,29 @@ class Source:
         return None
 
 
-class MemSource(Source):
+class Seekable(Source):
+    """Seekable variant of `Source` (source.rs:499-538).
+
+    Like the reference's trait, it is not used by the encoder today; it
+    exists so future algorithms (multi-pass, random access) have the same
+    contract. `__len__` returns per-channel samples."""
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def is_empty(self) -> bool:
+        return len(self) == 0
+
+    def seek_samples(self, n: int) -> None:
+        raise NotImplementedError
+
+    def read_samples_from(self, offset: int, block_size: int, dest) -> int:
+        """Seek to `offset` (per-channel samples) and read one block."""
+        self.seek_samples(offset)
+        return self.read_samples(block_size, dest)
+
+
+class MemSource(Seekable):
     """In-memory interleaved source (source.rs:543-639)."""
 
     def __init__(
@@ -193,6 +215,9 @@ class MemSource(Source):
         return self._sample_rate
 
     def len_hint(self) -> Optional[int]:
+        return len(self._samples) // self._channels
+
+    def __len__(self) -> int:
         return len(self._samples) // self._channels
 
     def seek_samples(self, n: int) -> None:

@@ -14,7 +14,7 @@ from typing import Tuple
 import numpy as np
 
 from .errors import SourceError
-from .source import le_bytes_to_samples, samples_to_le_bytes
+from .source import Seekable, le_bytes_to_samples, samples_to_le_bytes
 
 
 def read_wav(path: str) -> Tuple[np.ndarray, int, int, int]:
@@ -76,7 +76,7 @@ def write_wav(path: str, interleaved: np.ndarray, channels: int, bits: int, rate
         f.write(payload)
 
 
-class WavFileSource:
+class WavFileSource(Seekable):
     """Streaming WAV source (Source + Seekable analogue,
     flacenc-bin/src/source.rs:54-133 and source.rs:499-538): parses the
     header once, then reads PCM in block-sized chunks from disk."""
@@ -130,7 +130,10 @@ class WavFileSource:
     def len_hint(self):
         return self._data_len // (self._bytes_per_sample * self._channels)
 
-    # Seekable analogue (source.rs:499-538)
+    def __len__(self) -> int:
+        return self._data_len // (self._bytes_per_sample * self._channels)
+
+    # Seekable (source.rs:499-538)
     def seek_samples(self, n: int) -> None:
         byte = n * self._bytes_per_sample * self._channels
         assert byte <= self._data_len

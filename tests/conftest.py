@@ -24,4 +24,14 @@ os.environ["PYTHONPATH"] = ":".join(
     p for p in os.environ.get("PYTHONPATH", "").split(":") if p and "axon" not in p
 )
 
+# a tunnel sitecustomize may have imported jax at interpreter start, in
+# which case jax captured JAX_PLATFORMS from the old environment — override
+# the live config too (before any backend initializes)
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -145,3 +145,27 @@ def test_corpus_streaming_bounded_inflight():
             GenSource(i, n), block, batch_size=batch,
         )
         assert streams[f"g{i}"].to_bytes() == single.to_bytes(), i
+
+
+def test_stream_encoder_mesh_sharded_byte_identical():
+    """encode_with_fixed_block_size with mesh="auto" (8 virtual devices)
+    must produce byte-identical output to the single-device run — sharding
+    the block axis is pure placement (no collectives in the hot path)."""
+    import jax
+
+    from flacenc_tpu.models import batch_encoder as be
+    from flacenc_tpu.parallel import block_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    x, src1 = _mem_source(7, 4096)
+    _, src2 = _mem_source(7, 4096)
+    cfg = config.Encoder().into_verified()
+    d_mesh = be.encode_with_fixed_block_size(
+        cfg, src1, 512, batch_size=8, mesh=block_mesh(jax.devices()[:8])
+    ).to_bytes()
+    d_one = be.encode_with_fixed_block_size(
+        cfg, src2, 512, batch_size=8, mesh=None
+    ).to_bytes()
+    assert d_mesh == d_one
+    assert np.array_equal(decode_stream(parse_stream(d_mesh)), x)

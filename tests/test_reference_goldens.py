@@ -421,3 +421,21 @@ def test_parser_unsigned_to_signed_goldens():
     assert r.read_signed(8) == 127
     r = BitReader(bytes([128]))
     assert r.read_signed(8) == -128
+
+
+def test_seekable_read_samples_from():
+    # source.rs:499-538 (Seekable trait): len/is_empty/read_samples_from
+    from flacenc_tpu.source import Seekable
+
+    total, channels = 600, 2
+    sig = np.arange(total * channels, dtype=np.int32)
+    src = MemSource(sig, channels, 16, 44100)
+    assert isinstance(src, Seekable)
+    assert len(src) == total and not src.is_empty()
+    fb = FrameBuf(channels, 128)
+    got = src.read_samples_from(100, 128, fb)
+    assert got == 128
+    assert fb.channel_slice(0)[0] == 100 * channels
+    assert fb.channel_slice(1)[0] == 100 * channels + 1
+    # empty source
+    assert MemSource(np.zeros(0, np.int32), 2, 16, 44100).is_empty()
