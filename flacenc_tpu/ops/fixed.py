@@ -45,7 +45,10 @@ def estimate_entropy(
     values). Returns (...,) i64 accumulated truncated partition costs.
     """
     partition_size = -(-block_size // partitions)
-    abs_f32 = jnp.abs(errors.astype(jnp.int64)).astype(jnp.float32)
+    # |err| in i32 is exact here: fixed-LPC residuals of valid inputs are
+    # bounded by 2^30 (<= 26-bit samples x sum|binomial(4,k)| = 16), so
+    # INT32_MIN is unreachable and the i64 detour is unnecessary work
+    abs_f32 = jnp.abs(errors).astype(jnp.float32)
     acc = jnp.zeros(errors.shape[:-1], dtype=jnp.int64)
     offset = 0
     warm = warmup_len.astype(jnp.int64)
