@@ -223,10 +223,16 @@ def main(argv=None) -> int:
             return main_corpus(args)
         return main_dec(args)
     except FileNotFoundError as e:
-        # the reference maps input-open failures to EX_NOINPUT
-        # (flacenc-bin/src/main.rs:226,281-293)
+        # the reference maps INPUT-open failures to EX_NOINPUT
+        # (flacenc-bin/src/main.rs:226,281-293); a missing output
+        # directory is an I/O error
         display.error(str(e))
-        return EX_NOINPUT
+        inputs = set(getattr(args, "sources", None) or [])
+        if getattr(args, "source", None):
+            inputs.add(args.source)
+        if getattr(args, "config", None):
+            inputs.add(args.config)
+        return EX_NOINPUT if e.filename in inputs else EX_IOERR
     except OSError as e:
         display.error(str(e))
         return EX_IOERR

@@ -92,9 +92,10 @@ def select_order_and_encode_residual(
                 est = native.estimate_entropy_strict(
                     err, order, order_sel.partitions
                 )
-                if est is None:  # lib unavailable; numpy approximation
-                    est = ref_np.estimate_entropy(
-                        err, order, order_sel.partitions
+                if est is None:
+                    raise RuntimeError(
+                        "strict mode requires the native library; "
+                        "run `python flacenc_tpu/native/build.py`"
                     )
                 return est
         else:
@@ -167,16 +168,20 @@ def estimated_qlpc(
             signal[None, :], get_window(cfg.qlpc.window, len(signal)),
             lpc_order, cfg.qlpc.quant_precision,
         )
-        if res is not None:
-            q, o, sh = res
-            order, shift = int(o[0]), int(sh[0])
-            qcoefs = q[0, :order].astype(np.int16)
-            errors = ref_np.compute_error(qcoefs, shift, signal)
-            residual = encode_residual(cfg.prc, errors, order)
-            params = QuantizedParameters(
-                qcoefs, order, shift, cfg.qlpc.quant_precision
+        if res is None:
+            raise RuntimeError(
+                "strict mode requires the native library; "
+                "run `python flacenc_tpu/native/build.py`"
             )
-            return Lpc(signal[:order], params, residual, bits_per_sample)
+        q, o, sh = res
+        order, shift = int(o[0]), int(sh[0])
+        qcoefs = q[0, :order].astype(np.int16)
+        errors = ref_np.compute_error(qcoefs, shift, signal)
+        residual = encode_residual(cfg.prc, errors, order)
+        params = QuantizedParameters(
+            qcoefs, order, shift, cfg.qlpc.quant_precision
+        )
+        return Lpc(signal[:order], params, residual, bits_per_sample)
     coefs = perform_qlpc(cfg, signal)
     qcoefs, order, shift = ref_np.quantize_parameters(
         coefs[:lpc_order], cfg.qlpc.quant_precision

@@ -58,28 +58,32 @@ class PipelineStats:
 
 
 class _Md5Thread:
-    """Dedicated MD5 worker fed through a bounded queue (par.rs:196-277)."""
+    """Dedicated MD5 worker fed through a bounded queue (par.rs:196-277).
+
+    A worker-side exception is recorded and the queue keeps draining (so
+    producers never deadlock on the bounded queue); `check()` re-raises it
+    after `stop()`."""
 
     def __init__(self, stats: PipelineStats):
         self._q: queue_mod.Queue = queue_mod.Queue(maxsize=_MD5_QUEUE_BOUND)
         self._stats = stats
-        self._done: Dict[int, threading.Event] = {}
+        self._error: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def _run(self):
-        import hashlib  # noqa: F401  (hashes are passed in)
-
         while True:
             item = self._q.get()
             if item is None:
                 return
-            if isinstance(item, threading.Event):  # file-finalize fence
-                item.set()
-                continue
+            if self._error is not None:
+                continue  # drain without work so producers don't block
             h, samples, n, bytes_per = item
-            interleaved = np.ascontiguousarray(samples[:, :n].T).reshape(-1)
-            h.update(samples_to_le_bytes(interleaved, bytes_per))
+            try:
+                interleaved = np.ascontiguousarray(samples[:, :n].T).reshape(-1)
+                h.update(samples_to_le_bytes(interleaved, bytes_per))
+            except BaseException as e:  # surfaced by check()
+                self._error = e
 
     def submit(self, h, samples: np.ndarray, n: int, bytes_per: int):
         try:
@@ -88,14 +92,14 @@ class _Md5Thread:
             self._stats.md5_overdue += 1
             self._q.put((h, samples, n, bytes_per))
 
-    def fence(self) -> threading.Event:
-        ev = threading.Event()
-        self._q.put(ev)
-        return ev
-
     def stop(self):
+        """Drains the queue (FIFO) and joins the worker."""
         self._q.put(None)
         self._thread.join()
+
+    def check(self):
+        if self._error is not None:
+            raise self._error
 
 
 def encode_corpus(
@@ -105,26 +109,29 @@ def encode_corpus(
     batch_size: int = 64,
     packer: str = "auto",
     mesh="auto",
+    strict_lpc: Optional[bool] = None,
 ) -> Tuple[Dict[str, Stream], PipelineStats]:
     """Encodes many sources, streaming blocks into shared device batches.
 
     All sources must share (channels, bits_per_sample); sample rates may
     differ (the rate only affects frame headers; batches are grouped per
     rate). Memory stays bounded by the pipeline depth regardless of corpus
-    size. `mesh` shards batches across local devices like
-    `batch_encoder.encode_with_fixed_block_size`. Returns {name: Stream}
-    plus pipeline stats.
+    size. `mesh` shards batches across local devices and `strict_lpc` (or
+    env FLACENC_STRICT_LPC=1) selects reference-stable float semantics,
+    both exactly like `batch_encoder.encode_with_fixed_block_size` (the
+    batching/dispatch machinery is shared: `batch_encoder.BatchPipeline`).
+    Returns {name: Stream} plus pipeline stats.
     """
-    import concurrent.futures
+    import os
 
-    import jax
-    import jax.numpy as jnp
-
-    from .. import constants, native
     from ..models import batch_encoder as be
     from ..models import reference_encoder as ref
 
+    if strict_lpc is None:
+        strict_lpc = os.environ.get("FLACENC_STRICT_LPC", "") == "1"
     cfg = config.inner if isinstance(config, Verified) else config
+    if cfg.subframe_coding.qlpc.use_direct_mse:
+        strict_lpc = False  # strict mode covers the autocorrelation method
     stats = PipelineStats(files=len(sources))
     if not sources:
         return {}, stats
@@ -137,18 +144,6 @@ def encode_corpus(
         )
     bytes_per = -(-bps // 8)
 
-    if packer == "auto":
-        packer = "native2" if native.available() else "python"
-    assemble = {
-        "native2": be.pack_frames_decisions,
-        "native": be.pack_frames_native,
-        "python": be.frames_from_device,
-    }[packer]
-    fn = be._cached_encoder_fn(
-        cfg.to_toml(), nch, bps, block_size,
-        decisions_only=packer == "native2",
-    )
-
     # per-file state
     frames_by_file: List[Dict[int, "Frame"]] = [dict() for _ in sources]
     n_full: List[int] = [0] * len(sources)
@@ -157,48 +152,31 @@ def encode_corpus(
     total_samples = [0] * len(sources)
 
     md5_thread = _Md5Thread(stats)
-    io_pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
-    depth = constants.par.FRAMEBUF_MULTIPLICITY
-    in_flight: List[tuple] = []
-    # pending blocks grouped by sample rate: rate -> (items, blocks)
+    pipe = be.BatchPipeline(
+        cfg, nch, bps, block_size, batch_size, packer, strict_lpc, mesh
+    )
+    # pending blocks grouped by sample rate (frame headers encode it)
     pending: Dict[int, List[Tuple[int, int, np.ndarray]]] = {}
 
-    sharding = be._auto_mesh(mesh, batch_size)
-
-    def upload_dispatch_fetch(chunk: np.ndarray):
-        up = chunk.astype(np.int16) if bps <= 16 else chunk
-        if sharding is not None:
-            d = jax.device_put(up, sharding)
-        else:
-            d = jnp.asarray(up)
-        enc = fn(d)
-        return type(enc)(**jax.device_get(enc._asdict()))
-
-    def drain_one():
-        fut, chunk, items, rate = in_flight.pop(0)
-        t0 = time.perf_counter()
-        enc = fut.result()
-        stats.device_wait_s += time.perf_counter() - t0
-        t0 = time.perf_counter()
-        nums = np.asarray(
-            [it[1] for it in items] + [0] * (chunk.shape[0] - len(items))
-        )
-        frames = assemble(enc, chunk, nums, cfg, nch, bps, rate, block_size)
-        for (fi, bi, _), frame in zip(items, frames[: len(items)]):
+    def route(result):
+        if result is None:
+            return
+        for (fi, bi, _), frame in zip(result.cookie, result.frames):
             frames_by_file[fi][bi] = frame
-        stats.pack_s += time.perf_counter() - t0
+        stats.device_wait_s += result.device_wait_s
+        stats.pack_s += result.pack_s
         stats.batches += 1
+        stats.max_inflight_batches = max(
+            stats.max_inflight_batches, pipe.max_inflight
+        )
 
     def submit(rate: int):
         items = pending.pop(rate)
-        chunk = be._bucket_pad(np.stack([it[2] for it in items]), batch_size)
-        fut = io_pool.submit(upload_dispatch_fetch, chunk)
-        in_flight.append((fut, chunk, items, rate))
-        stats.max_inflight_batches = max(
-            stats.max_inflight_batches, len(in_flight)
-        )
-        if len(in_flight) >= depth:
-            drain_one()
+        route(pipe.submit(
+            [it[2] for it in items],
+            np.asarray([it[1] for it in items]),
+            rate=rate, cookie=items,
+        ))
 
     try:
         for fi, (name, src) in enumerate(sources):
@@ -219,18 +197,19 @@ def encode_corpus(
                     if len(pending[rate]) == batch_size:
                         submit(rate)
                 else:
+                    # short read = final (tail) block of this source
                     tails[fi] = block
+                    break
         for rate in list(pending):
             submit(rate)
-        while in_flight:
-            drain_one()
+        for result in pipe.drain_all():
+            route(result)
     finally:
-        io_pool.shutdown(wait=False)
+        pipe.close()
         t0 = time.perf_counter()
-        fence = md5_thread.fence()
-        fence.wait()
         md5_thread.stop()
         stats.md5_wait_s += time.perf_counter() - t0
+        md5_thread.check()
 
     results: Dict[str, Stream] = {}
     for fi, (name, src) in enumerate(sources):
@@ -240,14 +219,14 @@ def encode_corpus(
             stats.frames += 1
         if tails[fi] is not None:
             tail = tails[fi]
-            n_tail = total_samples[fi] - n_full[fi] * block_size
-            fb = FrameBuf(nch, n_tail)
+            fb = FrameBuf(nch, tail.shape[1])
             fb.fill_interleaved(
-                np.ascontiguousarray(tail[:, :n_tail].T).reshape(-1)
+                np.ascontiguousarray(tail.T).reshape(-1)
             )
             stream.add_frame(
                 ref.encode_fixed_size_frame(
-                    cfg, fb, n_full[fi], stream.stream_info()
+                    cfg, fb, n_full[fi], stream.stream_info(),
+                    strict_lpc=strict_lpc,
                 )
             )
             stats.frames += 1

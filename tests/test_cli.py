@@ -89,3 +89,14 @@ def test_cli_config_load_and_dump(tmp_path):
 def test_cli_missing_input_exits_noinput(tmp_path):
     rc = main(["encode", str(tmp_path / "nope.wav"), "-o", str(tmp_path / "o.flac")])
     assert rc == 66  # EX_NOINPUT
+
+
+def test_cli_missing_output_dir_exits_ioerr(tmp_path):
+    """r2 review finding: a missing OUTPUT directory is EX_IOERR (74), not
+    EX_NOINPUT — only input-open failures map to 66 (main.rs:226,281-293)."""
+    _make_wav(tmp_path / "in.wav", 2, 16, 44100, 2000)
+    rc = main([
+        "encode", str(tmp_path / "in.wav"),
+        "-o", str(tmp_path / "no_such_dir" / "out.flac"),
+    ])
+    assert rc == 74

@@ -77,3 +77,52 @@ def test_strict_mode_real_audio_lossless():
         cfg, source.MemSource(x, 2, 16, 44100), 4096, strict_lpc=True
     )
     assert np.array_equal(decode_stream(parse_stream(s.to_bytes())), x)
+
+
+def test_corpus_rejects_out_of_range_samples():
+    """r2 review finding: the corpus path must range-validate full blocks
+    like the stream path (source.rs:262-277 verify_samples), not silently
+    emit a lossy stream."""
+    from flacenc_tpu.errors import VerifyError
+    from flacenc_tpu.parallel import encode_corpus
+
+    x = np.full(2 * 2048, 70000, np.int32)  # 17-bit values, declared 16-bit
+    with pytest.raises(VerifyError):
+        encode_corpus(
+            [("bad", source.MemSource(x, 2, 16, 44100))],
+            config.Encoder().into_verified(), 1024,
+        )
+
+
+def test_corpus_md5_worker_error_raises_not_hangs(monkeypatch):
+    """r2 review finding: an exception on the MD5 thread must surface as an
+    error, not deadlock the bounded queue."""
+    from flacenc_tpu.parallel import encode_corpus
+    from flacenc_tpu.parallel import pipeline as pl
+
+    def boom(*a, **k):
+        raise RuntimeError("md5 worker exploded")
+
+    monkeypatch.setattr(pl, "samples_to_le_bytes", boom)
+    x = _signal(4096)
+    with pytest.raises(RuntimeError, match="md5 worker exploded"):
+        encode_corpus(
+            [("a", source.MemSource(x, 2, 16, 44100))],
+            config.Encoder().into_verified(), 1024,
+        )
+
+
+def test_corpus_strict_mode_matches_stream_strict():
+    """r2 review finding: encode_corpus honors strict_lpc / the env var."""
+    from flacenc_tpu.parallel import encode_corpus
+
+    x = _signal(3000)
+    streams, _ = encode_corpus(
+        [("a", source.MemSource(x, 2, 16, 44100))],
+        config.Encoder().into_verified(), 1024, strict_lpc=True,
+    )
+    single = be.encode_with_fixed_block_size(
+        config.Encoder().into_verified(),
+        source.MemSource(x, 2, 16, 44100), 1024, strict_lpc=True,
+    )
+    assert streams["a"].to_bytes() == single.to_bytes()
