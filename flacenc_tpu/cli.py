@@ -52,6 +52,11 @@ def _build_parser() -> argparse.ArgumentParser:
         help="exact stable-reference float semantics for QLPC estimation "
              "(byte-identical streams to flacenc-rs stable builds)",
     )
+    enc.add_argument(
+        "--profile-trace", default=None, metavar="DIR",
+        help="wrap the encode in a jax.profiler trace written to DIR "
+             "(the reference's --pprof-output analogue, main.rs:377-402)",
+    )
 
     corp = sub.add_parser(
         "encode-corpus",
@@ -61,6 +66,10 @@ def _build_parser() -> argparse.ArgumentParser:
     corp.add_argument("-d", "--output-dir", required=True)
     corp.add_argument("-c", "--config", help="TOML encoder config")
     corp.add_argument("--block-size", type=int, default=None)
+    corp.add_argument(
+        "--strict-float", action="store_true",
+        help="exact stable-reference float semantics (see encode)",
+    )
 
     dec = sub.add_parser("decode", help="decode FLAC to WAV (experimental)")
     dec.add_argument("source", help="input FLAC file")
@@ -113,13 +122,21 @@ def main_enc(args) -> int:
     samples, channels, bits, rate = read_wav(args.source)
     src = MemSource(samples, channels, bits, rate)
     t0 = time.perf_counter()
-    import os as _os
 
-    if args.strict_float:
-        _os.environ["FLACENC_STRICT_LPC"] = "1"
-    stream = flacenc_tpu.encode_with_fixed_block_size(
-        verified, src, cfg.block_size, use_tpu=not args.cpu_only
-    )
+    def run():
+        return flacenc_tpu.encode_with_fixed_block_size(
+            verified, src, cfg.block_size, use_tpu=not args.cpu_only,
+            strict_lpc=True if args.strict_float else None,
+        )
+
+    if args.profile_trace:
+        # the reference's optional CPU-profiler wrap (main.rs:377-402)
+        import jax
+
+        with jax.profiler.trace(args.profile_trace):
+            stream = run()
+    else:
+        stream = run()
     data = stream.to_bytes()
     elapsed = time.perf_counter() - t0
     with open(args.output, "wb") as f:
@@ -153,7 +170,10 @@ def main_corpus(args) -> int:
     sources = [(path, WavFileSource(path)) for path in args.sources]
     os.makedirs(args.output_dir, exist_ok=True)
     t0 = _t.perf_counter()
-    streams, stats = encode_corpus(sources, verified, cfg.block_size)
+    streams, stats = encode_corpus(
+        sources, verified, cfg.block_size,
+        strict_lpc=True if args.strict_float else None,
+    )
     wall = _t.perf_counter() - t0
     total_in = total_out = 0
     audio_s = 0.0
