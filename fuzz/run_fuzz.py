@@ -129,8 +129,21 @@ def _device_configs():
 
 
 def one_device_case(seed: int, block_size: int = 512, strict: bool = False) -> None:
-    """Random signal, canned config: device stream must byte-equal the
-    oracle stream (the device<->scalar fuzz tier)."""
+    """Random signal, canned config: the device<->scalar fuzz tier.
+
+    Strict tier: device stream must byte-equal the oracle stream (all
+    integer device logic — rice search, bit counts, selection, FIR — is
+    pinned exactly; float estimation is shared host-side).
+
+    Default tier: streams are byte-equal except on measure-zero float
+    rounding ties (XLA vs numpy f64/f32 accumulation order in LPC/entropy
+    estimation — the documented default-mode deviation, DESIGN.md). When
+    bytes differ, the case must (a) still verify + decode losslessly,
+    (b) stay within a small size tolerance, and (c) become byte-equal
+    under strict mode on the same input — proving the divergence is the
+    estimation tie and nothing else. (First hit: seed 630, a quantized
+    coefficient differing by 1 after a 1-ulp autocorr sum difference.)"""
+    from flacenc_tpu.component.verify import verify_stream as _verify
     from flacenc_tpu.models import batch_encoder as be
 
     rng = np.random.default_rng(seed)
@@ -146,16 +159,37 @@ def one_device_case(seed: int, block_size: int = 512, strict: bool = False) -> N
         interleaved[ch::channels] = random_signal_gen(rng).to_vec_quantized(
             bps, signal_len
         )
-    d = be.encode_with_fixed_block_size(
-        cfg, source.MemSource(interleaved, channels, bps, 44100), block_size,
-        batch_size=8, strict_lpc=strict,
-    ).to_bytes()
+    src = lambda: source.MemSource(interleaved, channels, bps, 44100)
+    stream_d = be.encode_with_fixed_block_size(
+        cfg, src(), block_size, batch_size=8, strict_lpc=strict,
+    )
+    d = stream_d.to_bytes()
     r = re.encode_with_fixed_block_size(
-        cfg, source.MemSource(interleaved, channels, bps, 44100), block_size,
-        strict_lpc=strict,
+        cfg, src(), block_size, strict_lpc=strict,
     ).to_bytes()
-    assert d == r, f"device/oracle stream mismatch (seed={seed}, strict={strict})"
     assert np.array_equal(decode_stream(parse_stream(d)), interleaved)
+    if d == r:
+        return
+    if strict:
+        raise AssertionError(
+            f"strict device/oracle stream mismatch (seed={seed})"
+        )
+    # default mode: divergence is only acceptable if it is exactly the
+    # documented float-estimation tie
+    _verify(stream_d)
+    assert abs(len(d) - len(r)) <= max(64, len(r) // 16), (
+        f"size divergence too large (seed={seed}): {len(d)} vs {len(r)}"
+    )
+    ds = be.encode_with_fixed_block_size(
+        cfg, src(), block_size, batch_size=8, strict_lpc=True,
+    ).to_bytes()
+    rs = re.encode_with_fixed_block_size(
+        cfg, src(), block_size, strict_lpc=True,
+    ).to_bytes()
+    assert ds == rs, (
+        f"divergence NOT resolved by strict mode (seed={seed}) — "
+        "this is a real device/oracle bug, not an estimation tie"
+    )
 
 
 _MUTATE_BASE = None

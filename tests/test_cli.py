@@ -100,3 +100,26 @@ def test_cli_missing_output_dir_exits_ioerr(tmp_path):
         "-o", str(tmp_path / "no_such_dir" / "out.flac"),
     ])
     assert rc == 74
+
+
+def test_cli_strict_float_and_profile_trace(tmp_path):
+    """New flags: encode --strict-float == encode-corpus --strict-float
+    byte-for-byte; --profile-trace writes a jax trace directory."""
+    _make_wav(tmp_path / "in.wav", 2, 16, 44100, 2500)
+    assert main([
+        "encode", str(tmp_path / "in.wav"), "-o", str(tmp_path / "s.flac"),
+        "--strict-float",
+    ]) == 0
+    assert main([
+        "encode-corpus", str(tmp_path / "in.wav"),
+        "--output-dir", str(tmp_path / "out"), "--strict-float",
+    ]) == 0
+    assert (tmp_path / "s.flac").read_bytes() == \
+        (tmp_path / "out" / "in.flac").read_bytes()
+
+    trace = tmp_path / "trace"
+    assert main([
+        "encode", str(tmp_path / "in.wav"), "-o", str(tmp_path / "p.flac"),
+        "--profile-trace", str(trace),
+    ]) == 0
+    assert trace.is_dir()
