@@ -108,3 +108,58 @@ def test_native2_bitcount_and_experimental_configs():
             batch_size=4, packer="native2",
         ).to_bytes()
         assert d_n2 == d_py, toml
+
+
+def test_packed_upload_byte_identical_and_fallback():
+    """12-bit delta wire format (ops/upack.py): streams are byte-identical
+    to the raw-upload path; batches whose deltas overflow fall back to raw
+    automatically (output never depends on the wire format)."""
+    n = 1024 * 4 + 100
+    x = _stereo_signal(n, 16, noise=0.01)  # smooth: deltas fit 12 bits
+    cfg = config.Encoder().into_verified()
+    raw = be.encode_with_fixed_block_size(
+        cfg, source.MemSource(x, 2, 16, 44100), 1024,
+        batch_size=4, upload_pack=False,
+    ).to_bytes()
+    packed = be.encode_with_fixed_block_size(
+        cfg, source.MemSource(x, 2, 16, 44100), 1024,
+        batch_size=4, upload_pack=True,
+    ).to_bytes()
+    assert packed == raw
+    assert np.array_equal(decode_stream(parse_stream(packed)), x)
+
+    # white noise at full scale: deltas overflow -> raw fallback, bytes equal
+    rng = np.random.default_rng(3)
+    y = rng.integers(-32768, 32768, 2 * 1024 * 3, dtype=np.int64).astype(np.int32)
+    raw = be.encode_with_fixed_block_size(
+        cfg, source.MemSource(y, 2, 16, 44100), 1024,
+        batch_size=4, upload_pack=False,
+    ).to_bytes()
+    packed = be.encode_with_fixed_block_size(
+        cfg, source.MemSource(y, 2, 16, 44100), 1024,
+        batch_size=4, upload_pack=True,
+    ).to_bytes()
+    assert packed == raw
+
+
+def test_upack_roundtrip_exact():
+    """ops/upack.py codec: unpack(pack(x)) == x wherever fits(x)."""
+    import jax
+
+    from flacenc_tpu.ops import upack
+
+    rng = np.random.default_rng(1)
+    for shape in ((2, 2, 1024), (3, 1, 64)):
+        d = rng.integers(-2048, 2048, shape, np.int32)
+        d[..., 0] = 0
+        x = rng.integers(-30000, 30000, shape[:-1] + (1,), np.int32) + np.cumsum(d, -1)
+        x = np.clip(x, -32768, 32767)
+        if not upack.fits(x):
+            x = np.cumsum(np.clip(np.diff(x, axis=-1, prepend=0), -2048, 2047), -1)
+        assert upack.fits(x)
+        w, f = upack.pack(x)
+        y = np.asarray(
+            jax.jit(lambda w, f: upack.unpack(w, f, shape[-1]))(w, f)
+        )
+        assert np.array_equal(y, x)
+    assert not upack.fits(np.array([[0, 5000]], np.int32))
