@@ -302,7 +302,7 @@ def build_encoder_fn(
     With `packed_upload=True` the program takes the 12-bit delta wire
     format (ops/upack.py: packed words + first samples) instead of raw
     PCM and reconstructs the int32 blocks on device — same outputs bit
-    for bit, 25% less host->device traffic.
+    for bit, 25% less host->device traffic (12 vs 16 bits/sample).
     """
     window = get_window(cfg.subframe_coding.qlpc.window, block_size)
     stereo = nchannels == 2
@@ -786,12 +786,26 @@ class BatchPipeline:
         self._hi = (1 << (bps - 1)) - 1
         self._fn = None  # built lazily on the first batch
         self._fn_packed = None
+        explicit_pack = upload_pack is True
         if upload_pack == "env":
             upload_pack = os.environ.get("FLACENC_PACKED_UPLOAD", "") == "1"
         # 12-bit delta wire format (ops/upack.py): pays on link-starved
         # hosts; off by default (a PCIe host loses more to the extra host
-        # pass than it saves on the transfer)
-        self.upload_pack = bool(upload_pack) and bps <= 16 and block_size % 8 == 0
+        # pass than it saves on the transfer). NOTE: a stream that flips
+        # between fitting and overflowing batches compiles BOTH program
+        # variants, the second one mid-stream.
+        if upload_pack:
+            from ..ops import upack as _upack
+
+            eligible = bps <= 16 and block_size % _upack.GROUP == 0
+            if explicit_pack and not eligible:
+                raise ValueError(
+                    "upload_pack=True requires bits_per_sample <= 16 and a "
+                    f"block size divisible by {_upack.GROUP} "
+                    f"(got bps={bps}, block_size={block_size})"
+                )
+            upload_pack = eligible
+        self.upload_pack = bool(upload_pack)
         self._sharding = _auto_mesh(mesh, batch_size)
         self._in_flight: List[tuple] = []
         self.depth = constants.par.FRAMEBUF_MULTIPLICITY
@@ -803,15 +817,13 @@ class BatchPipeline:
             return jax.device_put(a, self._sharding)
         return jnp.asarray(a)
 
-    def _upload_dispatch_fetch(self, chunk, ext, packed):
+    def _upload_dispatch_fetch(self, chunk, ext, packed_arrays):
         """io thread: host->device, dispatch, device->host. With a mesh the
         inputs are batch-sharded and the program runs SPMD (no hot-path
         collectives)."""
         ext = ext or ()
-        if packed:
-            from ..ops import upack
-
-            words, first = upack.pack(chunk)
+        if packed_arrays is not None:
+            words, first = packed_arrays
             args = (self._put(words), self._put(first),
                     *map(self._put, ext))
             enc = self._fn_packed(*args)
@@ -834,11 +846,12 @@ class BatchPipeline:
                 "framebuf.samples",
                 f"must be in range of {self.bps}-bit signed ints",
             )
-        packed = False
+        packed_arrays = None
         if self.upload_pack:
             from ..ops import upack
 
-            packed = upack.fits(chunk)
+            packed_arrays = upack.try_pack(chunk)  # one delta pass
+        packed = packed_arrays is not None
         if packed and self._fn_packed is None:
             self._fn_packed = _cached_encoder_fn(
                 self.cfg.to_toml(), self.nch, self.bps, self.block_size,
@@ -856,7 +869,7 @@ class BatchPipeline:
             if self.strict_lpc else None
         )
         fut = self._pool.submit(
-            self._upload_dispatch_fetch, chunk, ext, packed
+            self._upload_dispatch_fetch, chunk, ext, packed_arrays
         )
         nums = np.asarray(nums)
         if len(nums) < chunk.shape[0]:  # padding rows get dummy numbers

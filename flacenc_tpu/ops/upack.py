@@ -15,7 +15,7 @@ output bytes never depend on the wire format).
 Enable with FLACENC_PACKED_UPLOAD=1 or BatchPipeline(upload_pack=True);
 OFF by default. Measured on the tunneled v5e with a single host core
 (r2): 139x end-to-end vs 186x raw — the host-side pack()/fits() passes
-cost more than the 22% wire saving returns when one core also runs the
+cost more than the 25% wire saving returns when one core also runs the
 bit packer. The format wins only when the host has spare cores AND the
 link is the bottleneck; it is kept as a tested, documented option.
 """
@@ -36,6 +36,9 @@ _MASK = (1 << WIDTH) - 1
 _SIGN = 1 << (WIDTH - 1)
 
 
+GROUP = _GROUP  # sample-count divisibility requirement for block sizes
+
+
 def fits(chunk: np.ndarray) -> bool:
     """True if every first-order delta fits WIDTH-bit two's complement."""
     d = np.diff(chunk.astype(np.int32), axis=-1)
@@ -45,8 +48,21 @@ def fits(chunk: np.ndarray) -> bool:
 
 
 def words_per_block(T: int) -> int:
-    assert T % _GROUP == 0, "block size must be a multiple of 8"
+    assert T % _GROUP == 0, f"block size must be a multiple of {_GROUP}"
     return (T // _GROUP) * _WORDS_PER_GROUP
+
+
+def try_pack(chunk: np.ndarray):
+    """One-pass pack-if-fits: ((..., W) uint32, (...,) int32) or None.
+
+    Computes the delta stream once (the separate fits()+pack() sequence
+    would diff the whole chunk twice)."""
+    x = chunk.astype(np.int32)
+    d = np.zeros_like(x)
+    d[..., 1:] = x[..., 1:] - x[..., :-1]
+    if d.size and not ((d >= -_SIGN).all() and (d <= _SIGN - 1).all()):
+        return None
+    return _pack_deltas(d, np.ascontiguousarray(x[..., 0]))
 
 
 def pack(chunk: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -56,11 +72,13 @@ def pack(chunk: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     96-bit group, little-endian across the 3 uint32 words.
     """
     x = chunk.astype(np.int32)
-    T = x.shape[-1]
-    first = np.ascontiguousarray(x[..., 0])
     d = np.zeros_like(x)
     d[..., 1:] = x[..., 1:] - x[..., :-1]
-    u = (d.astype(np.uint32) & _MASK).reshape(x.shape[:-1] + (-1, _GROUP))
+    return _pack_deltas(d, np.ascontiguousarray(x[..., 0]))
+
+
+def _pack_deltas(d: np.ndarray, first: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    u = (d.astype(np.uint32) & _MASK).reshape(d.shape[:-1] + (-1, _GROUP))
     u64 = u.astype(np.uint64)
     # 96-bit group as lo64 | hi32: fields 0..4 fully in lo64 (bits 0..60),
     # field 5 straddles (bits 60..72), 6..7 in hi (bits 72..96)
@@ -74,7 +92,7 @@ def pack(chunk: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     ).astype(np.uint32)
     w0 = (lo & 0xFFFFFFFF).astype(np.uint32)
     w1 = ((lo >> 32) & 0xFFFFFFFF).astype(np.uint32)
-    words = np.stack([w0, w1, hi], axis=-1).reshape(x.shape[:-1] + (-1,))
+    words = np.stack([w0, w1, hi], axis=-1).reshape(d.shape[:-1] + (-1,))
     return np.ascontiguousarray(words), first
 
 

@@ -150,16 +150,29 @@ def test_upack_roundtrip_exact():
 
     rng = np.random.default_rng(1)
     for shape in ((2, 2, 1024), (3, 1, 64)):
+        # large first samples + extreme in-range deltas, clipped to int16
+        # by CONSTRUCTION (clip can only shrink deltas, never grow them)
         d = rng.integers(-2048, 2048, shape, np.int32)
         d[..., 0] = 0
         x = rng.integers(-30000, 30000, shape[:-1] + (1,), np.int32) + np.cumsum(d, -1)
         x = np.clip(x, -32768, 32767)
-        if not upack.fits(x):
-            x = np.cumsum(np.clip(np.diff(x, axis=-1, prepend=0), -2048, 2047), -1)
         assert upack.fits(x)
+        assert np.abs(x[..., 0]).max() > 2048  # real large-first coverage
         w, f = upack.pack(x)
+        w2, f2 = upack.try_pack(x)
+        assert np.array_equal(w, w2) and np.array_equal(f, f2)
         y = np.asarray(
             jax.jit(lambda w, f: upack.unpack(w, f, shape[-1]))(w, f)
         )
         assert np.array_equal(y, x)
-    assert not upack.fits(np.array([[0, 5000]], np.int32))
+    assert not upack.fits(np.array([[0, 5000] * 4], np.int32))
+    assert upack.try_pack(np.array([[0, 5000] * 4], np.int32)) is None
+
+    with pytest.raises(ValueError):
+        be.BatchPipeline(
+            config.Encoder(), 2, 24, 1024, 4, upload_pack=True
+        )
+    with pytest.raises(ValueError):
+        be.BatchPipeline(
+            config.Encoder(), 2, 16, 1023, 4, upload_pack=True
+        )
