@@ -439,3 +439,80 @@ def test_seekable_read_samples_from():
     assert fb.channel_slice(1)[0] == 100 * channels + 1
     # empty source
     assert MemSource(np.zeros(0, np.int32), 2, 16, 44100).is_empty()
+
+
+def test_config_canonical_doc_toml():
+    # config.rs:22-55 — the reference's canonical documentation TOML
+    toml = """
+block_size = 4096
+multithread = true
+
+[stereo_coding]
+use_leftside = true
+use_rightside = true
+use_midside = true
+
+[subframe_coding]
+use_constant = true
+use_fixed = true
+use_lpc = true
+
+[subframe_coding.fixed]
+max_order = 4
+
+[subframe_coding.fixed.order_sel]
+type = "ApproxEnt"
+partitions = 32
+
+[subframe_coding.qlpc]
+lpc_order = 10
+quant_precision = 15
+use_direct_mse = false
+mae_optimization_steps = 0
+
+[subframe_coding.qlpc.window]
+type = "Tukey"
+alpha = 0.4
+
+[subframe_coding.prc]
+max_parameter = 14
+"""
+    c = config.Encoder.from_toml(toml)
+    c.verify()
+    assert c.block_size == 4096
+    assert c.subframe_coding.fixed.order_sel.partitions == 32
+    assert c.subframe_coding.prc.max_parameter == 14
+    assert c.subframe_coding.qlpc.window.type == "Tukey"
+    assert c.subframe_coding.qlpc.window.alpha == 0.4
+
+
+def test_large_block_sizes_roundtrip():
+    """Block-size edges: T=16384 (finest partition order 8 on the device
+    path) and the maximum odd T=32767 (trailing-zeros=0 -> single
+    partition, constant.rs:57) both stay lossless."""
+    from flacenc_tpu.models import batch_encoder as be
+    from flacenc_tpu.models import reference_encoder as re
+    from flacenc_tpu.component import decode_stream, parse_stream
+    from flacenc_tpu.ops.rice import finest_partition_order
+
+    assert finest_partition_order(16384, 64) == 8
+    assert finest_partition_order(32767, 64) == 0
+
+    n = 16384 * 2 + 777
+    x = np.zeros(2 * n, np.int32)
+    x[0::2] = sigen.Sine(500, 0.4).noise_with_seed(1, 0.03).to_vec_quantized(16, n)
+    x[1::2] = sigen.Sine(501, 0.4).noise_with_seed(2, 0.03).to_vec_quantized(16, n)
+    d = be.encode_with_fixed_block_size(
+        config.Encoder().into_verified(), MemSource(x, 2, 16, 44100),
+        16384, batch_size=2,
+    ).to_bytes()
+    assert np.array_equal(decode_stream(parse_stream(d)), x)
+
+    n2 = 32767 + 100
+    y = np.zeros(2 * n2, np.int32)
+    y[0::2] = sigen.Sine(321, 0.3).noise_with_seed(5, 0.02).to_vec_quantized(16, n2)
+    y[1::2] = y[0::2]
+    d2 = re.encode_with_fixed_block_size(
+        config.Encoder().into_verified(), MemSource(y, 2, 16, 44100), 32767
+    ).to_bytes()
+    assert np.array_equal(decode_stream(parse_stream(d2)), y)
