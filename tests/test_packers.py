@@ -176,3 +176,62 @@ def test_upack_roundtrip_exact():
         be.BatchPipeline(
             config.Encoder(), 2, 16, 1023, 4, upload_pack=True
         )
+
+
+def test_native_pack_upload12_parity():
+    """C++ single-pass upload pack == numpy pack, incl. range edges and
+    the wrapping-int32 delta semantics shared with the device cumsum."""
+    from flacenc_tpu import native
+    from flacenc_tpu.ops import upack
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    for shape in ((3, 2, 64), (1, 2, 4096), (5, 96)):
+        d = rng.integers(-2048, 2048, shape, np.int32)
+        x = np.cumsum(d, axis=-1).astype(np.int32)
+        w_np, f_np = upack.pack(x)
+        w_c, f_c = native.pack_upload12(x)
+        assert np.array_equal(w_np, w_c) and np.array_equal(f_np, f_c)
+
+    # range edges: ±2048 boundary per delta
+    edge = np.zeros((1, 8), np.int32)
+    edge[0, 1:] = 2047
+    assert native.pack_upload12(edge) is not None and upack.fits(edge)
+    edge[0, 1:] = 2048
+    assert native.pack_upload12(edge) is None and not upack.fits(edge)
+    edge[0, 1:] = -2048
+    assert native.pack_upload12(edge) is not None and upack.fits(edge)
+
+    # int32 extremes: numpy's diff wraps in int32 and the device-side
+    # cumsum wraps back — the C++ pass must agree, not reject
+    ext = np.zeros((1, 8), np.int32)
+    ext[0, 0] = 2**31 - 1
+    ext[0, 1:] = -(2**31)
+    assert upack.fits(ext)
+    w_c, f_c = native.pack_upload12(ext)
+    w_np, f_np = upack.pack(ext)
+    assert np.array_equal(w_np, w_c) and np.array_equal(f_np, f_c)
+
+
+def test_upload_pack_env_modes(monkeypatch):
+    """FLACENC_PACKED_UPLOAD: '1' on, '0' off, unset = adaptive probe."""
+    from flacenc_tpu import native
+
+    monkeypatch.setenv("FLACENC_PACKED_UPLOAD", "0")
+    p = be.BatchPipeline(config.Encoder(), 2, 16, 1024, 4)
+    assert not p.upload_pack and not p._probe_upload
+    p.close()
+    monkeypatch.setenv("FLACENC_PACKED_UPLOAD", "1")
+    p = be.BatchPipeline(config.Encoder(), 2, 16, 1024, 4)
+    assert p.upload_pack
+    p.close()
+    monkeypatch.delenv("FLACENC_PACKED_UPLOAD")
+    p = be.BatchPipeline(config.Encoder(), 2, 16, 1024, 4)
+    assert not p.upload_pack  # raw until the probe flips it
+    assert p._probe_upload == native.available()
+    p.close()
+    # ineligible shapes never probe
+    p = be.BatchPipeline(config.Encoder(), 2, 24, 1024, 4)
+    assert not p.upload_pack and not p._probe_upload
+    p.close()

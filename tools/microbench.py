@@ -85,12 +85,12 @@ def main() -> int:
     fn = be._cached_encoder_fn(cfg.to_toml(), 2, 16, T, decisions_only=True)
     blocks = rng.integers(-(1 << 14), 1 << 14, (B, 2, T), np.int32)
     dblocks = jnp.asarray(blocks.astype(np.int16))
-    jax.device_get(fn(dblocks).sf_bits)
+    jax.device_get(fn(dblocks))  # one coalesced decisions buffer
     ts = {}
     for n in (10, 10 + reps):
         t0 = time.perf_counter()
         outs = [fn(dblocks) for _ in range(n)]
-        jax.device_get(outs[-1].sf_bits)
+        jax.device_get(outs[-1])
         ts[n] = time.perf_counter() - t0
     dt = max((ts[10 + reps] - ts[10]) / reps, 1e-9)
     print(f"{'FULL encode step (decisions)':34s} {dt*1e3:8.3f} ms/batch  "
@@ -98,7 +98,7 @@ def main() -> int:
 
     # host-side stages (single core)
     if native.available():
-        enc = be.DeviceDecisions(**jax.device_get(fn(dblocks)._asdict()))
+        enc = be.split_decisions(np.asarray(jax.device_get(fn(dblocks))), 2)
         t0 = time.perf_counter()
         be.pack_frames_decisions(enc, blocks, np.arange(B), cfg, 2, 16, 44100, T)
         dt = time.perf_counter() - t0
