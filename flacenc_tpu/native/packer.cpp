@@ -69,39 +69,36 @@ struct BitWriter {
     uint8_t* buf;
     size_t pos;      // bytes written
     uint64_t acc;    // pending bits, right-aligned
-    int nbits;       // 0..7 pending bits in acc
+    int nbits;       // 0..7 pending bits in acc after every put
 
     explicit BitWriter(uint8_t* b) : buf(b), pos(0), acc(0), nbits(0) {}
 
-    // n <= 56; val must fit in n bits
+    // n <= 56; val must fit in n bits. Flushes all whole pending bytes
+    // with ONE unconditional 8-byte big-endian store (pos only advances
+    // by the valid byte count; later writes overwrite the tail), instead
+    // of the up-to-7-iteration per-byte loop — the residual write loop
+    // calls this once per sample, so the store width is the hot cost.
+    // Callers must guarantee >= 8 bytes of slack beyond the final output
+    // position (the frame worst-case capacity already does).
     inline void put(uint64_t val, int n) {
         acc = (acc << n) | val;
         nbits += n;
-        while (nbits >= 8) {
-            nbits -= 8;
-            buf[pos++] = (uint8_t)(acc >> nbits);
+        int fl = nbits & ~7;  // whole bytes pending, in bits
+        if (fl) {
+            uint64_t be = __builtin_bswap64(acc << (64 - nbits));
+            memcpy(buf + pos, &be, 8);
+            pos += (size_t)(fl >> 3);
+            nbits &= 7;
+            acc &= (1ull << nbits) - 1;
         }
-        acc &= (1ull << nbits) - 1;
     }
 
     inline void put_zeros(uint32_t n) {
-        if (nbits + n < 8) {  // stays sub-byte
-            acc <<= n;
-            nbits += n;
-            return;
+        while (n > 48) {  // pathological unary runs only
+            put(0, 48);
+            n -= 48;
         }
-        // flush partial byte padded with zeros
-        uint32_t fill = (uint32_t)(8 - nbits);
-        buf[pos++] = (uint8_t)(acc << fill);
-        n -= fill;
-        acc = 0;
-        nbits = 0;
-        size_t whole = n >> 3;
-        if (whole) {
-            memset(buf + pos, 0, whole);
-            pos += whole;
-        }
-        nbits = n & 7;  // acc already 0
+        put(0, (int)n);
     }
 
     inline void put_twoc(int32_t v, int n) { put((uint64_t)((uint32_t)v) & ((1ull << n) - 1), n); }
@@ -218,16 +215,23 @@ static inline void fixed_errors_inplace(uint32_t* err, int T, int order) {
 
 // QLPC residual FIR, i64 accumulate >> shift, wrap to i32 (lpc.rs:306-390);
 // identical to the device kernel ops/lpc.py:compute_error for t >= order.
+// Written tap-outer / sample-inner over an i64 scratch row (`acc`, >= T
+// entries, 32 KB at T=4096 -> stays in L1): each inner loop is an
+// independent widening multiply-add the compiler auto-vectorizes, where
+// the sample-outer form serializes on one scalar accumulator. i64 adds
+// commute, so the sum is exact regardless of tap order.
 static inline void lpc_errors(
     const int32_t* sig, int T, int order, const int32_t* qc, int32_t shift_v,
-    int32_t* err) {
-    for (int t = 0; t < order; ++t) err[t] = 0;
-    for (int t = order; t < T; ++t) {
-        int64_t acc = 0;
-        for (int k = 0; k < order; ++k)
-            acc += (int64_t)qc[k] * (int64_t)sig[t - 1 - k];
-        err[t] = (int32_t)(uint32_t)((int64_t)sig[t] - (acc >> shift_v));
+    int32_t* err, int64_t* acc) {
+    for (int t = order; t < T; ++t) acc[t] = 0;
+    for (int k = 0; k < order; ++k) {
+        const int64_t c = qc[k];
+        const int32_t* s = sig - 1 - k;
+        for (int t = order; t < T; ++t) acc[t] += c * (int64_t)s[t];
     }
+    for (int t = 0; t < order; ++t) err[t] = 0;
+    for (int t = order; t < T; ++t)
+        err[t] = (int32_t)(uint32_t)((int64_t)sig[t] - (acc[t] >> shift_v));
 }
 
 }  // namespace
@@ -324,12 +328,14 @@ int64_t flacenc_pack_frames_recompute(
 
     int32_t* sig_buf = new int32_t[(size_t)2 * T];  // stereo M/S scratch
     int32_t* err_buf = new int32_t[(size_t)T];
+    int64_t* acc_buf = new int64_t[(size_t)T];      // FIR accumulator row
 
     int64_t total = 0;
     for (int f = 0; f < F; ++f) {
         if (total + worst_frame > out_capacity) {
             delete[] sig_buf;
             delete[] err_buf;
+            delete[] acc_buf;
             return -1;
         }
         uint8_t* frame_start = out + total;
@@ -379,7 +385,7 @@ int64_t flacenc_pack_frames_recompute(
                 fixed_errors_inplace((uint32_t*)err_buf, T, ord);
                 err = err_buf;
             } else if (st == T_LPC) {
-                lpc_errors(sig, T, ord, qcoefs + idx * 24, shift[idx], err_buf);
+                lpc_errors(sig, T, ord, qcoefs + idx * 24, shift[idx], err_buf, acc_buf);
                 err = err_buf;
             }
             write_subframe(w, sig, err, st, ord,
@@ -395,6 +401,7 @@ int64_t flacenc_pack_frames_recompute(
     }
     delete[] sig_buf;
     delete[] err_buf;
+    delete[] acc_buf;
     return total;
 }
 
