@@ -90,3 +90,21 @@ def test_device_24bit():
     assert d == r
     dec = decode_stream(parse_stream(d))
     assert np.array_equal(dec, x)
+
+
+@pytest.mark.parametrize("channels", [3, 5])
+def test_device_multichannel_independent(channels):
+    """>2 channels: no stereo search, independent assignment per channel
+    (coding.rs:421-449); device must still match the oracle byte-for-byte."""
+    n = T + 57
+    x = np.zeros(channels * n, np.int32)
+    for ch in range(channels):
+        x[ch::channels] = (
+            sigen.Sine(90 + 17 * ch, 0.4)
+            .noise_with_seed(ch + 1, 0.01)
+            .to_vec_quantized(16, n)
+        )
+    d, r = encode_both(x, channels, 16, 32000, T)
+    assert d == r
+    dec = decode_stream(parse_stream(d))
+    assert np.array_equal(dec, x)
