@@ -133,7 +133,13 @@ def pack_frames_recompute(
 
     Stored channels (M/S) and chosen-predictor residuals are recomputed in
     C++ from the raw input blocks — residuals never cross the device link.
+
+    Frames are independent, so the batch is packed by FLACENC_PACK_THREADS
+    worker threads (default: all cores; 1 = sequential) into worst-case
+    regions compacted in order afterward — bytes are identical either way.
     """
+    import os
+
     lib = _load()
     assert lib is not None, f"native packer unavailable: {_load_error}"
     if getattr(lib.flacenc_pack_frames_recompute, "argtypes", None) is None:
@@ -143,8 +149,11 @@ def pack_frames_recompute(
             + [ctypes.POINTER(ctypes.c_int64)]
             + [ctypes.c_int32] * 13
             + [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-               ctypes.POINTER(ctypes.c_int64)]
+               ctypes.POINTER(ctypes.c_int64), ctypes.c_int32]
         )
+    n_threads = int(
+        os.environ.get("FLACENC_PACK_THREADS", os.cpu_count() or 1)
+    )
     F, C, T = blocks.shape
     P = rice_params.shape[-1]
 
@@ -171,7 +180,7 @@ def pack_frames_recompute(
         sr_spec[0], sr_spec[1], sr_spec[2],
         ss_tag,
         _ptr(out, ctypes.c_uint8), capacity,
-        _ptr(sizes, ctypes.c_int64),
+        _ptr(sizes, ctypes.c_int64), n_threads,
     )
     assert total >= 0, "native packer capacity exceeded"
     return out[:total].tobytes(), sizes

@@ -20,7 +20,7 @@ def build(force: bool = False) -> str:
         return LIB
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        "-fno-exceptions", "-fno-rtti", SRC, "-o", LIB,
+        "-fno-exceptions", "-fno-rtti", "-pthread", SRC, "-o", LIB,
     ]
     subprocess.run(cmd, check=True)
     return LIB

@@ -10,6 +10,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -293,34 +295,36 @@ int64_t flacenc_pack_frames(
     return total;
 }
 
-// Packs F frames from DECISIONS ONLY: the device ships per-channel choices
-// (type/order/coefs/rice params) and this packer recomputes the stored
-// channel signals (mid/side rotation, datatype.rs:1145-1174) and the
-// chosen predictor's residual (fixed diff cascade coding.rs:178-197 / QLPC
-// FIR lpc.rs:306-390) from the raw input blocks the host already holds —
-// per-sample residuals never cross the device->host link.
-//
-// `blocks` is (F, C, T) raw input channels; `assign` is the stereo
-// assignment code per frame (0=LR 1=LS 2=RS 3=MS; ignored unless C==2).
-int64_t flacenc_pack_frames_recompute(
-    const int32_t* blocks,        // (F, C, T) raw input channels
-    const int32_t* assign,        // (F,)
-    const int32_t* sf_type,       // (F, C)
-    const int32_t* order,         // (F, C)
-    const int32_t* qcoefs,        // (F, C, 24)
-    const int32_t* shift,         // (F, C)
-    const int32_t* rice_order,    // (F, C)
-    const int32_t* rice_params,   // (F, C, max_parts)
-    const int32_t* ch_tag,        // (F,)
-    const int64_t* frame_numbers, // (F,)
-    int32_t F, int32_t C, int32_t T, int32_t max_parts,
-    int32_t bps_base, int32_t precision,
-    int32_t bs_tag, int32_t bs_extra_bits, int32_t bs_extra_val,
-    int32_t sr_tag, int32_t sr_extra_bits, int32_t sr_extra_val,
-    int32_t ss_tag,
-    uint8_t* out, int64_t out_capacity,
-    int64_t* frame_sizes) {
-    if (C < 1 || C > 8) return -2;  // MAX_CHANNELS (constant.rs:60)
+}  // extern "C"
+
+namespace {
+
+// Shared parameters of one decisions-only batch (see
+// flacenc_pack_frames_recompute below).
+struct RecomputeBatch {
+    const int32_t* blocks;
+    const int32_t* assign;
+    const int32_t* sf_type;
+    const int32_t* order;
+    const int32_t* qcoefs;
+    const int32_t* shift;
+    const int32_t* rice_order;
+    const int32_t* rice_params;
+    const int32_t* ch_tag;
+    const int64_t* frame_numbers;
+    int32_t F, C, T, max_parts, bps_base, precision;
+    int32_t bs_tag, bs_extra_bits, bs_extra_val;
+    int32_t sr_tag, sr_extra_bits, sr_extra_val;
+    int32_t ss_tag;
+};
+
+// Packs frames [f_begin, f_end) back-to-back starting at `dst`; returns
+// bytes written, or -1 if `dst_capacity` would be exceeded. Thread-safe
+// across disjoint frame ranges (own scratch, disjoint outputs).
+static int64_t pack_recompute_range(
+    const RecomputeBatch& b, int f_begin, int f_end,
+    uint8_t* dst, int64_t dst_capacity, int64_t* frame_sizes) {
+    const int C = b.C, T = b.T;
     const int64_t worst_frame = 32 + (int64_t)C * ((int64_t)T * 5 + 64);
     // stereo candidate slots per assignment code (coding.rs:454-464)
     static const int kSlot0[4] = {0, 0, 3, 2};  // L, L, S, M
@@ -331,25 +335,26 @@ int64_t flacenc_pack_frames_recompute(
     int64_t* acc_buf = new int64_t[(size_t)T];      // FIR accumulator row
 
     int64_t total = 0;
-    for (int f = 0; f < F; ++f) {
-        if (total + worst_frame > out_capacity) {
+    for (int f = f_begin; f < f_end; ++f) {
+        if (total + worst_frame > dst_capacity) {
             delete[] sig_buf;
             delete[] err_buf;
             delete[] acc_buf;
             return -1;
         }
-        uint8_t* frame_start = out + total;
+        uint8_t* frame_start = dst + total;
         BitWriter w(frame_start);
-        write_frame_header(w, frame_start, ch_tag[f], (uint64_t)frame_numbers[f],
-                           bs_tag, bs_extra_bits, bs_extra_val,
-                           sr_tag, sr_extra_bits, sr_extra_val, ss_tag);
+        write_frame_header(w, frame_start, b.ch_tag[f],
+                           (uint64_t)b.frame_numbers[f],
+                           b.bs_tag, b.bs_extra_bits, b.bs_extra_val,
+                           b.sr_tag, b.sr_extra_bits, b.sr_extra_val, b.ss_tag);
 
         // stored-channel signal pointers
         const int32_t* stored[8];
         if (C == 2) {
-            const int32_t* l = blocks + (size_t)f * 2 * T;
+            const int32_t* l = b.blocks + (size_t)f * 2 * T;
             const int32_t* r = l + T;
-            const int a = assign[f] & 3;  // codes 0..3 (defensive mask)
+            const int a = b.assign[f] & 3;  // codes 0..3 (defensive mask)
             const int32_t* cand[4] = {l, r, nullptr, nullptr};
             const int s0 = kSlot0[a], s1 = kSlot1[a];
             if (s0 >= 2 || s1 >= 2) {  // need mid and/or side
@@ -367,17 +372,17 @@ int64_t flacenc_pack_frames_recompute(
             stored[1] = cand[s1];
         } else {
             for (int c = 0; c < C; ++c)
-                stored[c] = blocks + ((size_t)f * C + c) * T;
+                stored[c] = b.blocks + ((size_t)f * C + c) * T;
         }
 
-        int tag = ch_tag[f];
+        int tag = b.ch_tag[f];
         for (int c = 0; c < C; ++c) {
-            int bps = bps_base;
+            int bps = b.bps_base;
             if ((tag == 8 && c == 1) || (tag == 9 && c == 0) || (tag == 10 && c == 1))
                 bps += 1;
             const size_t idx = (size_t)f * C + c;
-            const int st = sf_type[idx];
-            const int ord = order[idx];
+            const int st = b.sf_type[idx];
+            const int ord = b.order[idx];
             const int32_t* sig = stored[c];
             const int32_t* err = nullptr;
             if (st == T_FIXED) {
@@ -385,12 +390,14 @@ int64_t flacenc_pack_frames_recompute(
                 fixed_errors_inplace((uint32_t*)err_buf, T, ord);
                 err = err_buf;
             } else if (st == T_LPC) {
-                lpc_errors(sig, T, ord, qcoefs + idx * 24, shift[idx], err_buf, acc_buf);
+                lpc_errors(sig, T, ord, b.qcoefs + idx * 24, b.shift[idx],
+                           err_buf, acc_buf);
                 err = err_buf;
             }
             write_subframe(w, sig, err, st, ord,
-                           qcoefs + idx * 24, shift[idx], precision, bps,
-                           rice_order[idx], rice_params + idx * max_parts, T);
+                           b.qcoefs + idx * 24, b.shift[idx], b.precision, bps,
+                           b.rice_order[idx],
+                           b.rice_params + idx * b.max_parts, T);
         }
 
         w.align();
@@ -402,6 +409,84 @@ int64_t flacenc_pack_frames_recompute(
     delete[] sig_buf;
     delete[] err_buf;
     delete[] acc_buf;
+    return total;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Packs F frames from DECISIONS ONLY: the device ships per-channel choices
+// (type/order/coefs/rice params) and this packer recomputes the stored
+// channel signals (mid/side rotation, datatype.rs:1145-1174) and the
+// chosen predictor's residual (fixed diff cascade coding.rs:178-197 / QLPC
+// FIR lpc.rs:306-390) from the raw input blocks the host already holds —
+// per-sample residuals never cross the device->host link.
+//
+// `blocks` is (F, C, T) raw input channels; `assign` is the stereo
+// assignment code per frame (0=LR 1=LS 2=RS 3=MS; ignored unless C==2).
+//
+// `n_threads > 1` splits the batch into contiguous frame ranges packed by
+// worker threads at worst-case region offsets, then compacts the regions
+// left (order-preserving memmove) — frames are independent, so the bytes
+// are identical to the sequential path. `out_capacity` must then be
+// >= F * (32 + C*(T*5 + 64)) (the wrapper always sizes it so).
+int64_t flacenc_pack_frames_recompute(
+    const int32_t* blocks,        // (F, C, T) raw input channels
+    const int32_t* assign,        // (F,)
+    const int32_t* sf_type,       // (F, C)
+    const int32_t* order,         // (F, C)
+    const int32_t* qcoefs,        // (F, C, 24)
+    const int32_t* shift,         // (F, C)
+    const int32_t* rice_order,    // (F, C)
+    const int32_t* rice_params,   // (F, C, max_parts)
+    const int32_t* ch_tag,        // (F,)
+    const int64_t* frame_numbers, // (F,)
+    int32_t F, int32_t C, int32_t T, int32_t max_parts,
+    int32_t bps_base, int32_t precision,
+    int32_t bs_tag, int32_t bs_extra_bits, int32_t bs_extra_val,
+    int32_t sr_tag, int32_t sr_extra_bits, int32_t sr_extra_val,
+    int32_t ss_tag,
+    uint8_t* out, int64_t out_capacity,
+    int64_t* frame_sizes, int32_t n_threads) {
+    if (C < 1 || C > 8) return -2;  // MAX_CHANNELS (constant.rs:60)
+    const RecomputeBatch b{blocks, assign, sf_type, order, qcoefs, shift,
+                           rice_order, rice_params, ch_tag, frame_numbers,
+                           F, C, T, max_parts, bps_base, precision,
+                           bs_tag, bs_extra_bits, bs_extra_val,
+                           sr_tag, sr_extra_bits, sr_extra_val, ss_tag};
+    const int64_t worst_frame = 32 + (int64_t)C * ((int64_t)T * 5 + 64);
+    if (n_threads > F) n_threads = F;
+    if (n_threads <= 1 || (int64_t)F * worst_frame > out_capacity)
+        return pack_recompute_range(b, 0, F, out, out_capacity, frame_sizes);
+
+    const int k = n_threads;
+    std::vector<std::thread> threads;
+    std::vector<int64_t> region_total((size_t)k, 0);
+    std::vector<int> starts((size_t)k + 1);
+    for (int j = 0; j <= k; ++j) starts[(size_t)j] = (int)((int64_t)F * j / k);
+    for (int j = 0; j < k; ++j) {
+        const int fb = starts[(size_t)j], fe = starts[(size_t)j + 1];
+        uint8_t* dst = out + (int64_t)fb * worst_frame;
+        const int64_t cap = (int64_t)(fe - fb) * worst_frame;
+        threads.emplace_back([&b, fb, fe, dst, cap, frame_sizes,
+                              &region_total, j]() {
+            region_total[(size_t)j] =
+                pack_recompute_range(b, fb, fe, dst, cap, frame_sizes);
+        });
+    }
+    for (auto& t : threads) t.join();
+    // compact regions left, preserving frame order (regions move strictly
+    // left, so memmove ranges never collide)
+    int64_t total = region_total[0];
+    if (total < 0) return -1;
+    for (int j = 1; j < k; ++j) {
+        const int64_t rt = region_total[(size_t)j];
+        if (rt < 0) return -1;
+        uint8_t* src = out + (int64_t)starts[(size_t)j] * worst_frame;
+        if (out + total != src) memmove(out + total, src, (size_t)rt);
+        total += rt;
+    }
     return total;
 }
 

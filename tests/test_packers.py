@@ -178,6 +178,26 @@ def test_upack_roundtrip_exact():
         )
 
 
+def test_threaded_packer_byte_identical(monkeypatch):
+    """FLACENC_PACK_THREADS: the region-split + compaction path must emit
+    exactly the sequential bytes (frames are independent)."""
+    from flacenc_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    n = 1024 * 7 + 11  # 7 full blocks + tail
+    x = _stereo_signal(n, 16, noise=0.02)
+    cfg = config.Encoder().into_verified()
+    outs = {}
+    for nt in ("1", "3"):
+        monkeypatch.setenv("FLACENC_PACK_THREADS", nt)
+        outs[nt] = be.encode_with_fixed_block_size(
+            cfg, source.MemSource(x, 2, 16, 44100), 1024,
+            batch_size=4, packer="native2",
+        ).to_bytes()
+    assert outs["1"] == outs["3"]
+
+
 def test_native_pack_upload12_parity():
     """C++ single-pass upload pack == numpy pack, incl. range edges and
     the wrapping-int32 delta semantics shared with the device cumsum."""
