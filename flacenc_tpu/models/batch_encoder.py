@@ -40,7 +40,7 @@ from ..ops import fixed as ops_fixed
 from ..ops import lpc as ops_lpc
 from ..ops import rice as ops_rice
 from ..ops.windows import get_window
-from ..source import Context, FrameBuf, Source
+from ..source import AsyncContext, FrameBuf, Source
 from . import reference_encoder
 
 import jax
@@ -1079,7 +1079,9 @@ def encode_with_fixed_block_size(
     bps = src.bits_per_sample()
     rate = src.sample_rate()
     stream = Stream(rate, nch, bps)
-    context = Context(bps, nch)
+    # MD5 on a dedicated worker behind a bounded queue (par.rs:196-277):
+    # the read loop never waits on hashing unless the queue backs up
+    context = AsyncContext(bps, nch)
 
     frames: List[Frame] = []
     tail: Optional[np.ndarray] = None
@@ -1124,6 +1126,7 @@ def encode_with_fixed_block_size(
             frames.extend(result.frames)
     finally:
         pipe.close()
+        context.shutdown()  # join the MD5 worker (no-op if already done)
 
     if tail is not None:
         fb = FrameBuf(nch, tail.shape[1])

@@ -100,6 +100,85 @@ class Context:
         self.frame_count += 1
 
 
+class AsyncContext:
+    """`Context` whose hashing runs on a dedicated worker thread behind a
+    bounded queue — the stream-path analogue of the reference par mode's
+    MD5 thread (par.rs:196-277; bounded(16) channel par.rs:210). Exposes
+    the same `Fill` surface; producer stalls on the full queue are counted
+    in `overdue` (the md5_overdue JSONL counter). Digest/counter reads
+    drain and join the worker first."""
+
+    QUEUE_BOUND = 16
+
+    def __init__(self, bits_per_sample: int, channels: int) -> None:
+        import queue as queue_mod
+        import threading
+
+        self._inner = Context(bits_per_sample, channels)
+        self._q: "queue_mod.Queue" = queue_mod.Queue(maxsize=self.QUEUE_BOUND)
+        self._queue_mod = queue_mod
+        self._error: Optional[BaseException] = None
+        self.overdue = 0
+        self._finished = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            if self._error is not None:
+                continue  # keep draining so producers never block
+            kind, data, bytes_per = item
+            try:
+                if kind == 0:
+                    self._inner.fill_interleaved(data)
+                else:
+                    self._inner.fill_le_bytes(data, bytes_per)
+            except BaseException as e:  # re-raised by finish()
+                self._error = e
+
+    def fill_interleaved(self, interleaved: np.ndarray) -> None:
+        # snapshot: the caller may reuse/mutate its buffer after returning
+        self._put((0, np.array(interleaved, dtype=np.int32, copy=True), 0))
+
+    def fill_le_bytes(self, data: bytes, bytes_per_sample: int) -> None:
+        self._put((1, bytes(data), bytes_per_sample))
+
+    def _put(self, item) -> None:
+        try:
+            self._q.put_nowait(item)
+        except self._queue_mod.Full:
+            self.overdue += 1
+            self._q.put(item)
+
+    def finish(self) -> None:
+        """Joins the worker; re-raises any hashing error."""
+        self.shutdown()
+        if self._error is not None:
+            raise self._error
+
+    def shutdown(self) -> None:
+        """Joins the worker without raising (safe in `finally`)."""
+        if not self._finished:
+            self._q.put(None)
+            self._thread.join()
+            self._finished = True
+
+    def md5_digest(self) -> bytes:
+        self.finish()
+        return self._inner.md5_digest()
+
+    def total_samples(self) -> int:
+        self.finish()
+        return self._inner.total_samples()
+
+    def current_frame_number(self) -> Optional[int]:
+        self.finish()
+        return self._inner.current_frame_number()
+
+
 class FrameBuf:
     """Channel-major reusable block buffer (source.rs:115-298)."""
 

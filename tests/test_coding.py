@@ -216,3 +216,40 @@ def test_rice2_five_bit_params_roundtrip():
         config.Encoder().into_verified(), source.MemSource(x, 2, 24, 96000), 1024
     ).to_bytes()
     assert d_dev == d
+
+
+def test_async_context_matches_context():
+    """AsyncContext (dedicated MD5 worker, par.rs:196-277) must produce the
+    same digest and counters as the synchronous Context, via both Fill
+    surfaces, and surface worker errors at finish()."""
+    import numpy as np
+
+    from flacenc_tpu.source import AsyncContext, Context
+
+    rng = np.random.default_rng(11)
+    blocks = [rng.integers(-30000, 30000, 2 * 512, dtype=np.int64).astype(np.int32)
+              for _ in range(40)]
+    sync = Context(16, 2)
+    async_ = AsyncContext(16, 2)
+    for i, b in enumerate(blocks):
+        if i % 3 == 2:  # exercise the byte surface too
+            from flacenc_tpu.source import samples_to_le_bytes
+
+            data = samples_to_le_bytes(b, 2)
+            sync.fill_le_bytes(data, 2)
+            async_.fill_le_bytes(data, 2)
+        else:
+            sync.fill_interleaved(b)
+            async_.fill_interleaved(b)
+            b += 1  # callers may mutate after return; snapshot must hold
+    assert async_.md5_digest() == sync.md5_digest()
+    assert async_.total_samples() == sync.total_samples()
+    assert async_.current_frame_number() == sync.current_frame_number()
+
+    # worker errors propagate at finish()
+    bad = AsyncContext(16, 2)
+    bad.fill_le_bytes(b"\x00\x01", 0)  # division by zero in the counter
+    import pytest as _pytest
+
+    with _pytest.raises(ZeroDivisionError):
+        bad.finish()
