@@ -66,7 +66,10 @@ def main() -> None:
     rate, bps, block = 44100, 16, 4096
     warm_seconds = float(os.environ.get("BENCH_WARM_SECONDS", "12"))
     seconds = float(os.environ.get("BENCH_SECONDS", "300"))
-    batch = int(os.environ.get("BENCH_BATCH", "512"))
+    # 256 measured best on v5e: ~12 us/frame device step (vs ~15 at 128,
+    # ~17 at 512 where the program spills), smoother pipeline, half the
+    # tail-padding waste of 512
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
     packer = os.environ.get("BENCH_PACKER", "auto")
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
 
@@ -112,7 +115,7 @@ def main() -> None:
     fn = be._cached_encoder_fn(
         cfg.inner.to_toml(), 2, bps, block, decisions_only=True
     )
-    dev_batch = min(batch, 128)  # device-step shape (held on device)
+    dev_batch = min(batch, 256)  # device-step shape (held on device)
     blocks = np.stack(
         [audio.reshape(-1, 2).T[:, i * block: (i + 1) * block]
          for i in range(dev_batch)]
