@@ -44,6 +44,11 @@ def _build_parser() -> argparse.ArgumentParser:
     enc.add_argument("--dump-config", help="write the effective config TOML here")
     enc.add_argument("--block-size", type=int, default=None)
     enc.add_argument(
+        "--batch-size", type=int, default=None,
+        help="blocks per device batch (throughput knob; default 64 — "
+             "raise to 256+ on slow links; output bytes never change)",
+    )
+    enc.add_argument(
         "--cpu-only", action="store_true",
         help="use the scalar reference encoder instead of the TPU pipeline",
     )
@@ -66,6 +71,10 @@ def _build_parser() -> argparse.ArgumentParser:
     corp.add_argument("-d", "--output-dir", required=True)
     corp.add_argument("-c", "--config", help="TOML encoder config")
     corp.add_argument("--block-size", type=int, default=None)
+    corp.add_argument(
+        "--batch-size", type=int, default=None,
+        help="blocks per device batch (throughput knob; see encode)",
+    )
     corp.add_argument(
         "--strict-float", action="store_true",
         help="exact stable-reference float semantics (see encode)",
@@ -124,9 +133,12 @@ def main_enc(args) -> int:
     t0 = time.perf_counter()
 
     def run():
+        kwargs = {}
+        if args.batch_size:
+            kwargs["batch_size"] = args.batch_size
         return flacenc_tpu.encode_with_fixed_block_size(
             verified, src, cfg.block_size, use_tpu=not args.cpu_only,
-            strict_lpc=True if args.strict_float else None,
+            strict_lpc=True if args.strict_float else None, **kwargs,
         )
 
     if args.profile_trace:
@@ -170,9 +182,12 @@ def main_corpus(args) -> int:
     sources = [(path, WavFileSource(path)) for path in args.sources]
     os.makedirs(args.output_dir, exist_ok=True)
     t0 = _t.perf_counter()
+    corpus_kwargs = {}
+    if args.batch_size:
+        corpus_kwargs["batch_size"] = args.batch_size
     streams, stats = encode_corpus(
         sources, verified, cfg.block_size,
-        strict_lpc=True if args.strict_float else None,
+        strict_lpc=True if args.strict_float else None, **corpus_kwargs,
     )
     wall = _t.perf_counter() - t0
     total_in = total_out = 0
