@@ -115,7 +115,8 @@ def main() -> None:
     fn = be._cached_encoder_fn(
         cfg.inner.to_toml(), 2, bps, block, decisions_only=True
     )
-    dev_batch = min(batch, 256)  # device-step shape (held on device)
+    total_blocks = (len(audio) // 2) // block
+    dev_batch = min(batch, 256, total_blocks)  # device-step shape (on device)
     blocks = np.stack(
         [audio.reshape(-1, 2).T[:, i * block: (i + 1) * block]
          for i in range(dev_batch)]

@@ -33,6 +33,13 @@ EX_SOFTWARE = 70
 EX_IOERR = 74
 
 
+def _positive_int(text: str) -> int:
+    v = int(text)
+    if v < 1:
+        raise argparse.ArgumentTypeError(f"must be >= 1 (got {v})")
+    return v
+
+
 def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="flacenc", description="TPU-native FLAC encoder")
     sub = p.add_subparsers(dest="command")
@@ -44,7 +51,7 @@ def _build_parser() -> argparse.ArgumentParser:
     enc.add_argument("--dump-config", help="write the effective config TOML here")
     enc.add_argument("--block-size", type=int, default=None)
     enc.add_argument(
-        "--batch-size", type=int, default=None,
+        "--batch-size", type=_positive_int, default=None,
         help="blocks per device batch (throughput knob; default 64 — "
              "raise to 256+ on slow links; output bytes never change)",
     )
@@ -72,7 +79,7 @@ def _build_parser() -> argparse.ArgumentParser:
     corp.add_argument("-c", "--config", help="TOML encoder config")
     corp.add_argument("--block-size", type=int, default=None)
     corp.add_argument(
-        "--batch-size", type=int, default=None,
+        "--batch-size", type=_positive_int, default=None,
         help="blocks per device batch (throughput knob; see encode)",
     )
     corp.add_argument(

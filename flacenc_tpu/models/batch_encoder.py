@@ -908,20 +908,7 @@ class BatchPipeline:
             enc = self._fn_packed(*args)
         else:
             up = chunk.astype(np.int16) if self.bps <= 16 else chunk
-            if self._probe_upload:
-                # time one real upload; slow link => packed wire format
-                import time as _time
-
-                t0 = _time.perf_counter()
-                dev = self._put(up)
-                jax.block_until_ready(dev)
-                dt = _time.perf_counter() - t0
-                if up.nbytes / max(dt, 1e-9) / 1e6 < _AUTO_PACK_MBPS:
-                    self.upload_pack = True
-                self._probe_upload = False
-            else:
-                dev = self._put(up)
-            enc = self._fn(dev, *map(self._put, ext))
+            enc = self._fn(self._put(up), *map(self._put, ext))
         if self.packer == "native2":
             # decisions travel as ONE coalesced buffer = one round trip
             return split_decisions(np.asarray(jax.device_get(enc)), self.nch)
@@ -941,6 +928,25 @@ class BatchPipeline:
                 "framebuf.samples",
                 f"must be in range of {self.bps}-bit signed ints",
             )
+        if self._probe_upload:
+            # one-time link probe, on the MAIN thread before any batch is
+            # queued: a probe on the I/O pool would race another worker's
+            # jit trace/compile (GIL-held for seconds) and misclassify a
+            # fast PCIe link as slow. Two fresh-content transfers; the
+            # first also absorbs transport warm-up and is discarded.
+            self._probe_upload = False
+            import time as _time
+
+            dt = None
+            base = chunk.astype(np.int16) if self.bps <= 16 else chunk
+            for i in (1, 2):  # distinct content per probe (defeats any
+                # content-addressed transport caching)
+                probe = np.ascontiguousarray(base ^ base.dtype.type(i))
+                t0 = _time.perf_counter()
+                jax.block_until_ready(self._put(probe))
+                dt = _time.perf_counter() - t0
+            if probe.nbytes / max(dt, 1e-9) / 1e6 < _AUTO_PACK_MBPS:
+                self.upload_pack = True
         packed_arrays = None
         if self.upload_pack:
             from ..ops import upack

@@ -151,9 +151,13 @@ def pack_frames_recompute(
             + [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
                ctypes.POINTER(ctypes.c_int64), ctypes.c_int32]
         )
-    n_threads = int(
-        os.environ.get("FLACENC_PACK_THREADS", os.cpu_count() or 1)
-    )
+    try:
+        n_threads = int(os.environ.get("FLACENC_PACK_THREADS", ""))
+    except ValueError:
+        n_threads = 0
+    if n_threads < 1:
+        n_threads = os.cpu_count() or 1
+    n_threads = min(n_threads, 64)  # worker spawn is per call; cap fan-out
     F, C, T = blocks.shape
     P = rice_params.shape[-1]
 

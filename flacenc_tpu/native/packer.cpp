@@ -87,9 +87,17 @@ struct BitWriter {
         nbits += n;
         int fl = nbits & ~7;  // whole bytes pending, in bits
         if (fl) {
+#if __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
             uint64_t be = __builtin_bswap64(acc << (64 - nbits));
             memcpy(buf + pos, &be, 8);
             pos += (size_t)(fl >> 3);
+#else  // big-endian host: per-byte flush (bitstream is MSB-first)
+            int nb = nbits;
+            while (nb >= 8) {
+                nb -= 8;
+                buf[pos++] = (uint8_t)(acc >> nb);
+            }
+#endif
             nbits &= 7;
             acc &= (1ull << nbits) - 1;
         }

@@ -25,8 +25,6 @@ par-mode's md5_overdue JSONL counter (par.rs:414-421).
 from __future__ import annotations
 
 import dataclasses
-import queue as queue_mod
-import threading
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -35,11 +33,8 @@ import numpy as np
 from .. import config as config_mod
 from ..errors import Verified
 from ..log import info_stats
-from ..source import FrameBuf, Source, samples_to_le_bytes
+from ..source import BoundedWorker, FrameBuf, Source, samples_to_le_bytes
 from ..component.datatype import Stream
-
-_MD5_QUEUE_BOUND = 16  # par.rs:210 bounded(16) channel
-
 
 @dataclasses.dataclass
 class PipelineStats:
@@ -58,48 +53,29 @@ class PipelineStats:
 
 
 class _Md5Thread:
-    """Dedicated MD5 worker fed through a bounded queue (par.rs:196-277).
-
-    A worker-side exception is recorded and the queue keeps draining (so
-    producers never deadlock on the bounded queue); `check()` re-raises it
-    after `stop()`."""
+    """Dedicated MD5 worker on the shared `source.BoundedWorker`
+    (par.rs:196-277); stall counts surface as `stats.md5_overdue`."""
 
     def __init__(self, stats: PipelineStats):
-        self._q: queue_mod.Queue = queue_mod.Queue(maxsize=_MD5_QUEUE_BOUND)
         self._stats = stats
-        self._error: Optional[BaseException] = None
-        self._thread = threading.Thread(target=self._run, daemon=True)
-        self._thread.start()
+        self._worker = BoundedWorker(self._handle)
 
-    def _run(self):
-        while True:
-            item = self._q.get()
-            if item is None:
-                return
-            if self._error is not None:
-                continue  # drain without work so producers don't block
-            h, samples, n, bytes_per = item
-            try:
-                interleaved = np.ascontiguousarray(samples[:, :n].T).reshape(-1)
-                h.update(samples_to_le_bytes(interleaved, bytes_per))
-            except BaseException as e:  # surfaced by check()
-                self._error = e
+    @staticmethod
+    def _handle(item):
+        h, samples, n, bytes_per = item
+        interleaved = np.ascontiguousarray(samples[:, :n].T).reshape(-1)
+        h.update(samples_to_le_bytes(interleaved, bytes_per))
 
     def submit(self, h, samples: np.ndarray, n: int, bytes_per: int):
-        try:
-            self._q.put_nowait((h, samples, n, bytes_per))
-        except queue_mod.Full:
-            self._stats.md5_overdue += 1
-            self._q.put((h, samples, n, bytes_per))
+        self._worker.submit((h, samples, n, bytes_per))
 
     def stop(self):
         """Drains the queue (FIFO) and joins the worker."""
-        self._q.put(None)
-        self._thread.join()
+        self._worker.stop()
+        self._stats.md5_overdue += self._worker.overdue
 
     def check(self):
-        if self._error is not None:
-            raise self._error
+        self._worker.check()
 
 
 def encode_corpus(

@@ -100,26 +100,28 @@ class Context:
         self.frame_count += 1
 
 
-class AsyncContext:
-    """`Context` whose hashing runs on a dedicated worker thread behind a
-    bounded queue — the stream-path analogue of the reference par mode's
-    MD5 thread (par.rs:196-277; bounded(16) channel par.rs:210). Exposes
-    the same `Fill` surface; producer stalls on the full queue are counted
-    in `overdue` (the md5_overdue JSONL counter). Digest/counter reads
-    drain and join the worker first."""
+class BoundedWorker:
+    """Daemon worker draining a bounded queue (par.rs:196-277's channel
+    discipline, shared by the stream and corpus MD5 pipelines).
 
-    QUEUE_BOUND = 16
+    A handler exception is recorded and the queue keeps draining so
+    producers never deadlock on the bound; `stop()` joins without raising
+    (safe in `finally`), `check()` re-raises. Producer stalls on the full
+    queue are counted in `overdue` (feeds the md5_overdue JSONL counter,
+    par.rs:414-421)."""
 
-    def __init__(self, bits_per_sample: int, channels: int) -> None:
+    QUEUE_BOUND = 16  # par.rs:210 bounded(16) channel
+
+    def __init__(self, handler) -> None:
         import queue as queue_mod
         import threading
 
-        self._inner = Context(bits_per_sample, channels)
+        self._handler = handler
         self._q: "queue_mod.Queue" = queue_mod.Queue(maxsize=self.QUEUE_BOUND)
         self._queue_mod = queue_mod
         self._error: Optional[BaseException] = None
         self.overdue = 0
-        self._finished = False
+        self._stopped = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -130,41 +132,62 @@ class AsyncContext:
                 return
             if self._error is not None:
                 continue  # keep draining so producers never block
-            kind, data, bytes_per = item
             try:
-                if kind == 0:
-                    self._inner.fill_interleaved(data)
-                else:
-                    self._inner.fill_le_bytes(data, bytes_per)
-            except BaseException as e:  # re-raised by finish()
+                self._handler(item)
+            except BaseException as e:  # re-raised by check()
                 self._error = e
 
-    def fill_interleaved(self, interleaved: np.ndarray) -> None:
-        # snapshot: the caller may reuse/mutate its buffer after returning
-        self._put((0, np.array(interleaved, dtype=np.int32, copy=True), 0))
-
-    def fill_le_bytes(self, data: bytes, bytes_per_sample: int) -> None:
-        self._put((1, bytes(data), bytes_per_sample))
-
-    def _put(self, item) -> None:
+    def submit(self, item) -> None:
         try:
             self._q.put_nowait(item)
         except self._queue_mod.Full:
             self.overdue += 1
             self._q.put(item)
 
-    def finish(self) -> None:
-        """Joins the worker; re-raises any hashing error."""
-        self.shutdown()
+    def stop(self) -> None:
+        """Drains the queue (FIFO) and joins; never raises."""
+        if not self._stopped:
+            self._q.put(None)
+            self._thread.join()
+            self._stopped = True
+
+    def check(self) -> None:
         if self._error is not None:
             raise self._error
 
+
+class AsyncContext:
+    """`Context` whose hashing runs on a `BoundedWorker` — the stream-path
+    analogue of the reference par mode's MD5 thread (par.rs:196-277).
+    Exposes the same `Fill` surface; digest/counter reads drain and join
+    the worker first. `worker.overdue` is the diagnostic stall counter."""
+
+    def __init__(self, bits_per_sample: int, channels: int) -> None:
+        self._inner = Context(bits_per_sample, channels)
+        self.worker = BoundedWorker(self._handle)
+
+    def _handle(self, item) -> None:
+        kind, data, bytes_per = item
+        if kind == 0:
+            self._inner.fill_interleaved(data)
+        else:
+            self._inner.fill_le_bytes(data, bytes_per)
+
+    def fill_interleaved(self, interleaved: np.ndarray) -> None:
+        # snapshot: the caller may reuse/mutate its buffer after returning
+        self.worker.submit((0, np.array(interleaved, dtype=np.int32, copy=True), 0))
+
+    def fill_le_bytes(self, data: bytes, bytes_per_sample: int) -> None:
+        self.worker.submit((1, bytes(data), bytes_per_sample))
+
+    def finish(self) -> None:
+        """Joins the worker; re-raises any hashing error."""
+        self.worker.stop()
+        self.worker.check()
+
     def shutdown(self) -> None:
         """Joins the worker without raising (safe in `finally`)."""
-        if not self._finished:
-            self._q.put(None)
-            self._thread.join()
-            self._finished = True
+        self.worker.stop()
 
     def md5_digest(self) -> bytes:
         self.finish()
