@@ -239,6 +239,40 @@ def one_mutation_case(seed: int) -> None:
         pass
 
 
+def one_upload_case(seed: int, block_size: int = 512) -> None:
+    """Wire-format transparency tier: for any signal (smooth, loud, or
+    mixed so some batches fit the 12-bit delta format and others fall back
+    to raw mid-stream), upload_pack=True must emit EXACTLY the bytes of
+    upload_pack=False — the wire format can never change output."""
+    from flacenc_tpu.models import batch_encoder as be
+
+    rng = np.random.default_rng(seed)
+    channels = 2 if rng.integers(0, 2) else 1
+    signal_len = int(rng.integers(1, 6 * block_size))
+    bps = 16
+    interleaved = np.zeros(signal_len * channels, dtype=np.int32)
+    for ch in range(channels):
+        x = random_signal_gen(rng).to_vec_quantized(bps, signal_len)
+        if rng.integers(0, 3) == 0:
+            # splice full-scale noise into a random span so delta fit
+            # flips between batches (exercises the mid-stream fallback
+            # and the dual-program path)
+            a = int(rng.integers(0, signal_len))
+            b = int(rng.integers(a, signal_len))
+            x[a:b] = rng.integers(-32768, 32768, b - a, dtype=np.int64)
+        interleaved[ch::channels] = x
+    cfg = _device_configs()[seed % len(_device_configs())].into_verified()
+    src = lambda: source.MemSource(interleaved, channels, bps, 44100)
+    raw = be.encode_with_fixed_block_size(
+        cfg, src(), block_size, batch_size=4, upload_pack=False,
+    ).to_bytes()
+    packed = be.encode_with_fixed_block_size(
+        cfg, src(), block_size, batch_size=4, upload_pack=True,
+    ).to_bytes()
+    assert packed == raw, f"packed-upload bytes diverged (seed={seed})"
+    assert np.array_equal(decode_stream(parse_stream(raw)), interleaved)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=100)
@@ -257,9 +291,15 @@ def main() -> int:
         "--mutate", action="store_true",
         help="fuzz the parser with mutated/truncated streams",
     )
+    ap.add_argument(
+        "--upload", action="store_true",
+        help="fuzz packed-upload wire-format transparency (bytes equal)",
+    )
     args = ap.parse_args()
     if args.mutate:
         case = one_mutation_case
+    elif args.upload:
+        case = one_upload_case
     elif args.device:
         case = lambda i: one_device_case(i, strict=args.strict)
     else:
@@ -272,7 +312,9 @@ def main() -> int:
         try:
             case(i)
         except Exception:
-            flag = " --mutate" if args.mutate else (" --device" if args.device else "")
+            flag = (" --mutate" if args.mutate else
+                    " --upload" if args.upload else
+                    " --device" if args.device else "")
             print(f"FUZZ FAILURE at seed={i}; replay: python fuzz/run_fuzz.py{flag} --seed {i}")
             raise
         if i % 10 == 0:
