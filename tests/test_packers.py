@@ -198,6 +198,23 @@ def test_threaded_packer_byte_identical(monkeypatch):
     assert outs["1"] == outs["3"]
 
 
+def test_strict_mode_packed_upload_byte_identical():
+    """Strict-float mode composes with the packed wire format: the strict
+    ext arrays ride the packed program and bytes match the raw path."""
+    n = 1024 * 3 + 77
+    x = _stereo_signal(n, 16, noise=0.01)
+    cfg = config.Encoder().into_verified()
+    a = be.encode_with_fixed_block_size(
+        cfg, source.MemSource(x, 2, 16, 44100), 1024,
+        batch_size=4, strict_lpc=True, upload_pack=False,
+    ).to_bytes()
+    b = be.encode_with_fixed_block_size(
+        cfg, source.MemSource(x, 2, 16, 44100), 1024,
+        batch_size=4, strict_lpc=True, upload_pack=True,
+    ).to_bytes()
+    assert a == b
+
+
 def test_native_pack_upload12_parity():
     """C++ single-pass upload pack == numpy pack, incl. range edges and
     the wrapping-int32 delta semantics shared with the device cumsum."""
