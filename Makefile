@@ -12,11 +12,13 @@ test:
 
 test-fast:
 	$(PY) -m pytest tests/ -x -q --ignore=tests/test_device.py \
-		--ignore=tests/test_device_pack.py --ignore=tests/test_experimental.py
+		--ignore=tests/test_experimental.py
 
 fuzz:
 	$(PY) fuzz/run_fuzz.py --iters 200
 	$(PY) fuzz/run_fuzz.py --mutate --iters 300
+	$(PY) fuzz/run_fuzz.py --upload --iters 25
+	$(PY) fuzz/run_fuzz.py --device --iters 25
 
 bench:
 	$(PY) bench.py
