@@ -139,9 +139,16 @@ def main_enc(args) -> int:
     src = MemSource(samples, channels, bits, rate)
     t0 = time.perf_counter()
 
+    if args.batch_size and args.cpu_only:
+        print(
+            "note: --batch-size has no effect with --cpu-only "
+            "(the scalar reference encoder has no device batches)",
+            file=sys.stderr,
+        )
+
     def run():
         kwargs = {}
-        if args.batch_size:
+        if args.batch_size and not args.cpu_only:
             kwargs["batch_size"] = args.batch_size
         return flacenc_tpu.encode_with_fixed_block_size(
             verified, src, cfg.block_size, use_tpu=not args.cpu_only,

@@ -70,9 +70,11 @@ class _Md5Thread:
         self._worker.submit((h, samples, n, bytes_per))
 
     def stop(self):
-        """Drains the queue (FIFO) and joins the worker."""
-        self._worker.stop()
-        self._stats.md5_overdue += self._worker.overdue
+        """Drains the queue (FIFO) and joins the worker. Idempotent —
+        the overdue count is folded into stats exactly once."""
+        if not self._worker.stopped:
+            self._worker.stop()
+            self._stats.md5_overdue += self._worker.overdue
 
     def check(self):
         self._worker.check()

@@ -126,10 +126,15 @@ class BoundedWorker:
         self._thread.start()
 
     def _run(self) -> None:
+        import threading
+
         while True:
             item = self._q.get()
             if item is None:
                 return
+            if isinstance(item, threading.Event):
+                item.set()  # barrier marker — set even while error-draining
+                continue
             if self._error is not None:
                 continue  # keep draining so producers never block
             try:
@@ -138,18 +143,35 @@ class BoundedWorker:
                 self._error = e
 
     def submit(self, item) -> None:
+        if self._stopped:
+            raise RuntimeError("BoundedWorker.submit after stop()")
         try:
             self._q.put_nowait(item)
         except self._queue_mod.Full:
             self.overdue += 1
             self._q.put(item)
 
+    def barrier(self) -> None:
+        """Blocks until every item submitted so far has been handled,
+        WITHOUT stopping the worker (mid-stream digest reads)."""
+        if self._stopped:
+            return
+        import threading
+
+        ev = threading.Event()
+        self._q.put(ev)
+        ev.wait()
+
+    @property
+    def stopped(self) -> bool:
+        return self._stopped
+
     def stop(self) -> None:
-        """Drains the queue (FIFO) and joins; never raises."""
+        """Drains the queue (FIFO) and joins; never raises. Idempotent."""
         if not self._stopped:
+            self._stopped = True  # reject further submits immediately
             self._q.put(None)
             self._thread.join()
-            self._stopped = True
 
     def check(self) -> None:
         if self._error is not None:
@@ -159,8 +181,12 @@ class BoundedWorker:
 class AsyncContext:
     """`Context` whose hashing runs on a `BoundedWorker` — the stream-path
     analogue of the reference par mode's MD5 thread (par.rs:196-277).
-    Exposes the same `Fill` surface; digest/counter reads drain and join
-    the worker first. `worker.overdue` is the diagnostic stall counter."""
+    Exposes the same `Fill` surface INCLUDING the sync Context's
+    read-then-continue contract: digest/counter reads barrier on the
+    queue (all prior fills applied) but leave the worker running, so
+    mid-stream progress queries work exactly like `Context` (which uses
+    `md5.copy()` for the same reason). `worker.overdue` is the diagnostic
+    stall counter."""
 
     def __init__(self, bits_per_sample: int, channels: int) -> None:
         self._inner = Context(bits_per_sample, channels)
@@ -180,6 +206,12 @@ class AsyncContext:
     def fill_le_bytes(self, data: bytes, bytes_per_sample: int) -> None:
         self.worker.submit((1, bytes(data), bytes_per_sample))
 
+    def _sync(self) -> None:
+        """All prior fills applied; hashing errors re-raised; worker kept
+        alive for further fills."""
+        self.worker.barrier()
+        self.worker.check()
+
     def finish(self) -> None:
         """Joins the worker; re-raises any hashing error."""
         self.worker.stop()
@@ -190,15 +222,15 @@ class AsyncContext:
         self.worker.stop()
 
     def md5_digest(self) -> bytes:
-        self.finish()
+        self._sync()
         return self._inner.md5_digest()
 
     def total_samples(self) -> int:
-        self.finish()
+        self._sync()
         return self._inner.total_samples()
 
     def current_frame_number(self) -> Optional[int]:
-        self.finish()
+        self._sync()
         return self._inner.current_frame_number()
 
 

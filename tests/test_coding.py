@@ -246,10 +246,23 @@ def test_async_context_matches_context():
     assert async_.total_samples() == sync.total_samples()
     assert async_.current_frame_number() == sync.current_frame_number()
 
+    # read-then-continue (the sync Context contract, md5.copy() analogue):
+    # a mid-stream digest/counter read barriers but keeps hashing alive
+    mid = AsyncContext(16, 2)
+    ref = Context(16, 2)
+    mid.fill_interleaved(blocks[0]); ref.fill_interleaved(blocks[0])
+    assert mid.md5_digest() == ref.md5_digest()       # mid-stream read
+    assert mid.total_samples() == ref.total_samples()
+    mid.fill_interleaved(blocks[1]); ref.fill_interleaved(blocks[1])
+    assert mid.md5_digest() == ref.md5_digest()       # later fills counted
+    mid.finish()
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        mid.fill_interleaved(blocks[2])  # fills after stop are errors, not silent drops
+
     # worker errors propagate at finish()
     bad = AsyncContext(16, 2)
     bad.fill_le_bytes(b"\x00\x01", 0)  # division by zero in the counter
-    import pytest as _pytest
-
     with _pytest.raises(ZeroDivisionError):
         bad.finish()
