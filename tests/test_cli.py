@@ -123,3 +123,27 @@ def test_cli_strict_float_and_profile_trace(tmp_path):
         "--profile-trace", str(trace),
     ]) == 0
     assert trace.is_dir()
+
+
+def test_stream_encoder_with_wav_file_source(tmp_path):
+    """WavFileSource straight into the batched stream encoder: exercises
+    AsyncContext.fill_le_bytes (raw-byte MD5 surface, source.rs:80-111)
+    and checks the digest against the synchronous reference path."""
+    from flacenc_tpu import config
+    from flacenc_tpu.models import batch_encoder as be
+    from flacenc_tpu.models import reference_encoder as re_
+
+    n = 1024 * 2 + 300
+    x = _make_wav(tmp_path / "in.wav", 2, 16, 44100, n, seed=3)
+    cfg = config.Encoder().into_verified()
+    d = be.encode_with_fixed_block_size(
+        cfg, WavFileSource(str(tmp_path / "in.wav")), 1024, batch_size=2
+    )
+    r = re_.encode_with_fixed_block_size(
+        cfg, WavFileSource(str(tmp_path / "in.wav")), 1024
+    )
+    assert d.stream_info().md5 == r.stream_info().md5
+    assert d.to_bytes() == r.to_bytes()
+    from flacenc_tpu.component import decode_stream, parse_stream
+
+    assert np.array_equal(decode_stream(parse_stream(d.to_bytes())), x)
