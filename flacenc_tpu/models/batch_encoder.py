@@ -122,6 +122,32 @@ def coalesce_decisions(dec: DeviceDecisions) -> jnp.ndarray:
     return jnp.concatenate([c.astype(jnp.int32) for c in cols], axis=1)
 
 
+def coalesce_encoded_small(enc: DeviceEncoded) -> jnp.ndarray:
+    """All DeviceEncoded fields EXCEPT the big errors tensor as one int32
+    buffer: the decisions layout plus a trailing fits16 column group. Two
+    fetched buffers per batch (small + errors) instead of ten."""
+    small = coalesce_decisions(DeviceDecisions(
+        assign=enc.assign, sf_type=enc.sf_type, order=enc.order,
+        qcoefs=enc.qcoefs, shift=enc.shift, rice_order=enc.rice_order,
+        rice_params=enc.rice_params, sf_bits=enc.sf_bits,
+    ))
+    return jnp.concatenate([small, enc.fits16.astype(jnp.int32)], axis=1)
+
+
+def split_encoded(wire: np.ndarray, errors: np.ndarray,
+                  nchannels: int) -> DeviceEncoded:
+    """Host-side inverse of the (coalesce_encoded_small, errors) pair."""
+    C = nchannels
+    dec = split_decisions(wire[:, :-C], C)
+    return DeviceEncoded(
+        assign=dec.assign, sf_type=dec.sf_type, order=dec.order,
+        qcoefs=dec.qcoefs, shift=dec.shift, rice_order=dec.rice_order,
+        rice_params=dec.rice_params, sf_bits=dec.sf_bits,
+        errors=np.asarray(errors),
+        fits16=np.ascontiguousarray(wire[:, -C:]).astype(bool),
+    )
+
+
 def split_decisions(arr: np.ndarray, nchannels: int) -> DeviceDecisions:
     """Host-side inverse of `coalesce_decisions` (numpy views, no copies)."""
     B, F = arr.shape
@@ -349,6 +375,7 @@ def build_encoder_fn(
     strict_lpc: bool = False,
     decisions_only: bool = False,
     packed_upload: bool = False,
+    wire_encoded: bool = False,
 ):
     """Builds the jitted device program for one (config, C, bps, T) combo.
 
@@ -438,7 +465,7 @@ def build_encoder_fn(
                 sf_bits=out["sf_bits"],
             ))
 
-        return DeviceEncoded(
+        enc = DeviceEncoded(
             assign=assign,
             sf_type=out["sf_type"],
             order=out["order"],
@@ -450,6 +477,11 @@ def build_encoder_fn(
             fits16=out["fits16"],
             sf_bits=out["sf_bits"],
         )
+        if wire_encoded:
+            # two output buffers (small decisions + errors): two transport
+            # round trips per fetched batch instead of ten
+            return coalesce_encoded_small(enc), enc.errors
+        return enc
 
     return jax.jit(encode_batch)
 
@@ -742,11 +774,11 @@ def _bucket_pad(chunk: np.ndarray, batch_size: int) -> np.ndarray:
 @functools.lru_cache(maxsize=32)
 def _cached_encoder_fn(cfg_key, nchannels, bps, block_size,
                        strict_lpc=False, decisions_only=False,
-                       packed_upload=False):
+                       packed_upload=False, wire_encoded=False):
     cfg = config_mod.Encoder.from_toml(cfg_key)
     return build_encoder_fn(
         cfg, nchannels, bps, block_size, strict_lpc, decisions_only,
-        packed_upload,
+        packed_upload, wire_encoded,
     )
 
 
@@ -880,7 +912,13 @@ class BatchPipeline:
             if upload_pack == "auto":
                 from .. import native
 
-                self._probe_upload = eligible and native.available()
+                # probe only on the default decisions path: residual-
+                # shipping packers are already download-heavy, and their
+                # packed-upload program variant has a pathological compile
+                # cost — explicit upload_pack=True still enables it there
+                self._probe_upload = (
+                    eligible and native.available() and packer == "native2"
+                )
                 upload_pack = False  # raw until the link probe says otherwise
             else:
                 upload_pack = eligible
@@ -912,7 +950,9 @@ class BatchPipeline:
         if self.packer == "native2":
             # decisions travel as ONE coalesced buffer = one round trip
             return split_decisions(np.asarray(jax.device_get(enc)), self.nch)
-        return type(enc)(**jax.device_get(enc._asdict()))
+        # residual-shipping packers: (small decisions wire, errors) pair
+        wire, errors = jax.device_get(enc)
+        return split_encoded(np.asarray(wire), np.asarray(errors), self.nch)
 
     def submit(self, blocks_list: List[np.ndarray], nums: np.ndarray,
                rate: Optional[int] = None, cookie=None):
@@ -958,11 +998,13 @@ class BatchPipeline:
                 self.cfg.to_toml(), self.nch, self.bps, self.block_size,
                 self.strict_lpc, self.packer == "native2",
                 packed_upload=True,
+                wire_encoded=self.packer != "native2",
             )
         if not packed and self._fn is None:
             self._fn = _cached_encoder_fn(
                 self.cfg.to_toml(), self.nch, self.bps, self.block_size,
                 self.strict_lpc, self.packer == "native2",
+                wire_encoded=self.packer != "native2",
             )
         ext = (
             _strict_ext_arrays(chunk, self.cfg, self.nch, self.bps,
