@@ -758,6 +758,12 @@ DEFAULT_BATCH = 64
 # (~1.2 GB/s single-pass C++), i.e. ~300 MB/s
 _AUTO_PACK_MBPS = 300.0
 
+# process-wide memo of the link probe's verdict (None = not yet probed):
+# the link class (PCIe vs tunnel) doesn't change within a process, and
+# re-probing on every pipeline construction would cost two blocking
+# uploads per encode call
+_LINK_IS_SLOW: Optional[bool] = None
+
 
 def _bucket_pad(chunk: np.ndarray, batch_size: int) -> np.ndarray:
     """Pad partial batches to the full batch size: exactly ONE device
@@ -973,19 +979,27 @@ class BatchPipeline:
             # queued: a probe on the I/O pool would race another worker's
             # jit trace/compile (GIL-held for seconds) and misclassify a
             # fast PCIe link as slow. Two fresh-content transfers; the
-            # first also absorbs transport warm-up and is discarded.
-            self._probe_upload = False
-            import time as _time
+            # first also absorbs transport warm-up and is discarded. The
+            # verdict is memoized process-wide (the link class doesn't
+            # change; re-probing would cost two uploads per encode call).
+            global _LINK_IS_SLOW
 
-            dt = None
-            base = chunk.astype(np.int16) if self.bps <= 16 else chunk
-            for i in (1, 2):  # distinct content per probe (defeats any
-                # content-addressed transport caching)
-                probe = np.ascontiguousarray(base ^ base.dtype.type(i))
-                t0 = _time.perf_counter()
-                jax.block_until_ready(self._put(probe))
-                dt = _time.perf_counter() - t0
-            if probe.nbytes / max(dt, 1e-9) / 1e6 < _AUTO_PACK_MBPS:
+            self._probe_upload = False
+            if _LINK_IS_SLOW is None:
+                import time as _time
+
+                dt = None
+                base = chunk.astype(np.int16) if self.bps <= 16 else chunk
+                for i in (1, 2):  # distinct content per probe (defeats any
+                    # content-addressed transport caching)
+                    probe = np.ascontiguousarray(base ^ base.dtype.type(i))
+                    t0 = _time.perf_counter()
+                    jax.block_until_ready(self._put(probe))
+                    dt = _time.perf_counter() - t0
+                _LINK_IS_SLOW = (
+                    probe.nbytes / max(dt, 1e-9) / 1e6 < _AUTO_PACK_MBPS
+                )
+            if _LINK_IS_SLOW:
                 self.upload_pack = True
         packed_arrays = None
         if self.upload_pack:
