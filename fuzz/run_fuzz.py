@@ -273,6 +273,45 @@ def one_upload_case(seed: int, block_size: int = 512) -> None:
     assert np.array_equal(decode_stream(parse_stream(raw)), interleaved)
 
 
+def one_cli_case(seed: int) -> None:
+    """End-to-end CLI property: random WAV (channels/bps/rate/length) and
+    random flag combinations -> encode -> decode -> sample-exact WAV,
+    mirroring the reference CLI matrix (flacenc-bin/src/main.rs:571-696)."""
+    import os
+    import tempfile
+
+    from flacenc_tpu.cli import main as cli_main
+    from flacenc_tpu.wav import read_wav, write_wav
+
+    rng = np.random.default_rng(seed)
+    channels = int(rng.integers(1, 4))
+    bps = int(rng.choice([8, 16, 24]))
+    rate = int(rng.choice([8000, 16001, 44100, 95800]))
+    n = int(rng.integers(100, 4000))
+    x = np.zeros(n * channels, dtype=np.int32)
+    for ch in range(channels):
+        x[ch::channels] = random_signal_gen(rng).to_vec_quantized(bps, n)
+    with tempfile.TemporaryDirectory() as d:
+        wav_in = os.path.join(d, "in.wav")
+        flac = os.path.join(d, "out.flac")
+        wav_out = os.path.join(d, "back.wav")
+        write_wav(wav_in, x, channels, bps, rate)
+        args = ["encode", wav_in, "-o", flac]
+        if rng.integers(0, 2):
+            args += ["--block-size", str(int(rng.choice([256, 1024, 4096])))]
+        if rng.integers(0, 3) == 0:
+            args += ["--cpu-only"]
+        if rng.integers(0, 3) == 0:
+            args += ["--strict-float"]
+        assert cli_main(args) == 0, f"encode rc != 0 (seed={seed})"
+        assert cli_main(["decode", flac, "-o", wav_out]) == 0, (
+            f"decode rc != 0 (seed={seed})"
+        )
+        y, ch2, bps2, rate2 = read_wav(wav_out)
+        assert (ch2, bps2, rate2) == (channels, bps, rate), f"header (seed={seed})"
+        assert np.array_equal(y, x), f"samples (seed={seed})"
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=100)
@@ -295,9 +334,15 @@ def main() -> int:
         "--upload", action="store_true",
         help="fuzz packed-upload wire-format transparency (bytes equal)",
     )
+    ap.add_argument(
+        "--cli", action="store_true",
+        help="fuzz the CLI encode/decode round trip with random flags",
+    )
     args = ap.parse_args()
     if args.mutate:
         case = one_mutation_case
+    elif args.cli:
+        case = one_cli_case
     elif args.upload:
         case = one_upload_case
     elif args.device:
@@ -313,6 +358,7 @@ def main() -> int:
             case(i)
         except Exception:
             flag = (" --mutate" if args.mutate else
+                    " --cli" if args.cli else
                     " --upload" if args.upload else
                     " --device" if args.device else "")
             print(f"FUZZ FAILURE at seed={i}; replay: python fuzz/run_fuzz.py{flag} --seed {i}")
