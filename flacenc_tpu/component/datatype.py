@@ -11,7 +11,7 @@ path; these methods are the readable oracle.
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable, List, Optional, Sequence, Union
+from typing import ClassVar, Iterable, List, Optional, Sequence, Union
 
 import numpy as np
 
@@ -66,7 +66,7 @@ class SampleSizeSpec:
     _BITS_TO_TAG = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
     _TAG_TO_BITS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
-    UNSPECIFIED: "SampleSizeSpec" = None  # set below
+    UNSPECIFIED: ClassVar["SampleSizeSpec"]  # set below
 
     @staticmethod
     def from_bits(bits: int) -> "SampleSizeSpec":
@@ -94,7 +94,7 @@ class SampleRateSpec:
     }
     _TAG_TO_FREQ = {v: k for k, v in _COMMON.items()}
 
-    UNSPECIFIED: "SampleRateSpec" = None  # set below
+    UNSPECIFIED: ClassVar["SampleRateSpec"]  # set below
 
     @staticmethod
     def from_freq(freq: int) -> Optional["SampleRateSpec"]:

@@ -80,21 +80,29 @@ class BitReader:
 
 
 def parse_utf8like(r: BitReader) -> int:
+    """utf8_code (parser.rs:382-416), reproduced exactly: heads below 0xE0
+    (including 0x80-0xBF) take ONE trailing byte with acc = head & 0x1F,
+    0xFF is rejected, and continuation bytes are masked (& 0x3F) without
+    validation — byte-level behavior matches the reference parser."""
     head = r.read(8)
     if head < 0x80:
-        return head
-    n = 0
-    h = head
-    while h & 0x80:
-        n += 1
-        h = (h << 1) & 0xFF
-    n -= 1  # trailing bytes
-    val = head & (0x7F >> n) if n < 6 else 0
+        return head & 0x7F
+    if head < 0xE0:
+        n, val = 1, head & 0x1F
+    elif head < 0xF0:
+        n, val = 2, head & 0x0F
+    elif head < 0xF8:
+        n, val = 3, head & 0x07
+    elif head < 0xFC:
+        n, val = 4, head & 0x03
+    elif head < 0xFE:
+        n, val = 5, head & 0x01
+    elif head == 0xFE:
+        n, val = 6, 0
+    else:
+        raise ParseError("invalid utf8-like head byte 0xFF")
     for _ in range(n):
-        b = r.read(8)
-        if (b & 0xC0) != 0x80:
-            raise ParseError("invalid utf8-like continuation byte")
-        val = (val << 6) | (b & 0x3F)
+        val = (val << 6) | (r.read(8) & 0x3F)
     return val
 
 
@@ -119,50 +127,62 @@ def parse_stream_info(data: bytes) -> StreamInfo:
     return info
 
 
-def _parse_block_size(r: BitReader, tag: int) -> int:
+def _parse_block_size_spec(r: BitReader, tag: int) -> BlockSizeSpec:
+    """block_size_code (parser.rs:329-352): the WIRE tag is preserved so
+    re-serialization is byte-identical (a legal stream may use tag 7 with
+    extra=4095 for block size 4096 instead of the canonical tag 12)."""
     if tag == 1:
-        return 192
+        return BlockSizeSpec(1, None, 192)
     if 2 <= tag <= 5:
-        return 576 << (tag - 2)
+        return BlockSizeSpec(tag, None, 576 << (tag - 2))
     if tag == 6:
-        return r.read(8) + 1
+        x = r.read(8)
+        return BlockSizeSpec(6, x, x + 1)
     if tag == 7:
-        return r.read(16) + 1
+        x = r.read(16)
+        return BlockSizeSpec(7, x, x + 1)
     if 8 <= tag <= 15:
-        return 256 << (tag - 8)
+        return BlockSizeSpec(tag, None, 256 << (tag - 8))
     raise ParseError(f"reserved block size tag {tag}")
 
 
-def _parse_sample_rate(r: BitReader, tag: int, default: Optional[int]) -> Optional[int]:
+def _parse_sample_rate_spec(r: BitReader, tag: int) -> SampleRateSpec:
+    """sample_rate_code (parser.rs:354-380), wire tag preserved (tag 13
+    Hz=44100 must NOT canonicalize to tag 9; Hz=0 is legal)."""
     if tag == 0:
-        return default
+        return SampleRateSpec.UNSPECIFIED
     if tag == 12:
-        return r.read(8) * 1000
+        x = r.read(8)
+        return SampleRateSpec(12, x, x * 1000)
     if tag == 13:
-        return r.read(16)
+        x = r.read(16)
+        return SampleRateSpec(13, x, x)
     if tag == 14:
-        return r.read(16) * 10
+        x = r.read(16)
+        return SampleRateSpec(14, x, x * 10)
     if tag == 15:
         raise ParseError("invalid sample rate tag 15")
-    return SampleRateSpec._TAG_TO_FREQ[tag]
+    return SampleRateSpec(tag, None, SampleRateSpec._TAG_TO_FREQ[tag])
 
 
 def parse_frame_header(r: BitReader) -> Tuple[FrameHeader, int]:
     """Returns (header, block_size); `r` must be byte-aligned at frame start."""
     start = r.byte_pos()
-    sync = r.read(14)
-    if sync != 0x3FFE:
+    # 15-bit tag: 14-bit sync code + mandatory-zero reserved bit
+    # (parser.rs:263 bit_tag(0x7FFC, 15))
+    sync = r.read(15)
+    if sync != 0x7FFC:
         raise ParseError(f"bad sync code {sync:#x}")
-    r.read(1)  # reserved
     variable = r.read(1) == 1
     bs_tag = r.read(4)
     sr_tag = r.read(4)
     ch_tag = r.read(4)
     ss_tag = r.read(3)
-    r.read(1)  # reserved
+    if r.read(1) != 0:  # parser.rs:270 bit_tag(0, 1)
+        raise ParseError("reserved frame-header bit must be zero")
     number = parse_utf8like(r)
-    block_size = _parse_block_size(r, bs_tag)
-    sample_rate = _parse_sample_rate(r, sr_tag, None)
+    bs_spec = _parse_block_size_spec(r, bs_tag)
+    sr_spec = _parse_sample_rate_spec(r, sr_tag)
     header_end = (r.pos + 7) >> 3
     expected_crc = r.read(8)
     actual = crc8(r.data[start : header_end])
@@ -171,17 +191,12 @@ def parse_frame_header(r: BitReader) -> Tuple[FrameHeader, int]:
     ch_info = ChannelAssignment.from_tag(ch_tag)
     if ch_info is None:
         raise ParseError(f"bad channel assignment tag {ch_tag}")
-    header = FrameHeader(
-        BlockSizeSpec.from_size(block_size),
-        ch_info,
-        SampleSizeSpec(ss_tag),
-        SampleRateSpec.from_freq(sample_rate) if sample_rate else SampleRateSpec.UNSPECIFIED,
-    )
+    header = FrameHeader(bs_spec, ch_info, SampleSizeSpec(ss_tag), sr_spec)
     if variable:
         header.set_start_sample_number(number)
     else:
         header.set_frame_number(number)
-    return header, block_size
+    return header, bs_spec.size
 
 
 def parse_residual(r: BitReader, block_size: int, warmup: int) -> Residual:
@@ -286,17 +301,31 @@ def parse_stream(data: bytes, verify_crc: bool = True) -> Stream:
     r = BitReader(data, 32)
     stream = None
     is_last = False
+    first = True
     while not is_last:
         header_byte = r.read(8)
         is_last = bool(header_byte & 0x80)
         typetag = header_byte & 0x7F
         length = r.read(24)
-        body = bytes(r.read(8) for _ in range(length))
-        if typetag == 0:
+        # the reader is byte-aligned here: slice the body in one step
+        # (a per-byte read loop costs ~1000x more on MB-sized blocks)
+        bstart = r.byte_pos()
+        body = bytes(r.data[bstart : bstart + length])
+        if len(body) != length:
+            raise ParseError("truncated metadata block")
+        r.pos += 8 * length
+        if first:
+            # the first metadata block must be STREAMINFO (parser.rs:55-60)
+            if typetag != 0:
+                raise ParseError("first metadata block is not STREAMINFO")
             info = parse_stream_info(body)
             stream = Stream(info.sample_rate, info.channels, info.bits_per_sample)
             stream.stream_info_ = info
-        elif stream is not None:
+            first = False
+        else:
+            # later blocks (any type, incl. a duplicate type-0) are kept
+            # verbatim as opaque metadata, like the reference's
+            # MetadataBlockData handling of non-leading blocks
             stream.metadata_.append(MetadataBlock(is_last, typetag, body))
     if stream is None:
         raise ParseError("missing STREAMINFO block")

@@ -34,9 +34,18 @@ def _check_block_size(name: str, size: int) -> None:
 
 
 def _check_bps(name: str, bps: int) -> None:
-    # +1 covers side channels (bps 25)
-    if not (4 <= bps <= constants.MAX_BITS_PER_SAMPLE + 1 + 7):
+    # verify.rs:51-67 (verify_bps!): MIN..=MAX+1 (+1 covers side channels,
+    # bps 25) and a multiple of 4, or 4n+1 for the side channel
+    if not (
+        constants.MIN_BITS_PER_SAMPLE
+        <= bps
+        <= constants.MAX_BITS_PER_SAMPLE + 1
+    ):
         raise VerifyError(name, f"bits-per-sample {bps} out of range")
+    if bps % 4 not in (0, 1):
+        raise VerifyError(
+            name, "must be a multiple of 4 (or 4n + 1 for side-channel)"
+        )
 
 
 def _check_sample_range(name: str, samples: np.ndarray, bps: int) -> None:
@@ -140,24 +149,71 @@ def verify_frame(frame: Frame) -> None:
 
 
 def verify_stream_info(info: StreamInfo) -> None:
+    """verify.rs:133-153: block/frame-size ordering gated on non-empty
+    streams (total_samples == 0 means nothing folded in yet), plus the
+    unconditional rate/channels/bps bounds."""
+    if info.total_samples != 0:
+        if info.min_block_size > info.max_block_size:
+            raise VerifyError(
+                "stream_info.min_block_size",
+                "must be smaller than `max_block_size`",
+            )
+        _check_block_size("stream_info.min_block_size", info.min_block_size)
+        _check_block_size("stream_info.max_block_size", info.max_block_size)
+        if info.min_frame_size > info.max_frame_size:
+            raise VerifyError(
+                "stream_info.min_frame_size",
+                "must be smaller than `max_frame_size`",
+            )
+    if info.sample_rate > 96_000:
+        raise VerifyError("stream_info.sample_rate", "out of range")
     if not (1 <= info.channels <= constants.MAX_CHANNELS):
         raise VerifyError("stream_info.channels", "out of range")
-    # max_block_size == 0 means no frame folded in yet (fresh StreamInfo)
-    if info.max_block_size > 0 and info.min_block_size > info.max_block_size:
-        raise VerifyError("stream_info.block_sizes", "min > max")
+    _check_bps("stream_info.bits_per_sample", info.bits_per_sample)
 
 
 def verify_stream(stream: Stream) -> None:
-    """verify.rs:78-115: is_last chain + fixed-blocking frame numbering."""
+    """verify.rs:78-115: is_last chain, then fixed-blocking (sequential
+    frame numbers + STREAMINFO min==max) or variable-blocking (cumulative
+    start-sample numbers, datatype.rs:266-314) frame validation."""
     verify_stream_info(stream.stream_info())
     for i, m in enumerate(stream.metadata()):
         is_tail = i == len(stream.metadata()) - 1
         if m.is_last != is_tail:
             raise VerifyError(f"stream.metadata[{i}].is_last", "chain broken")
-    for i, frame in enumerate(stream.frames()):
+    frames = stream.frames()
+    if not frames:
+        return
+    if frames[0].header().is_variable_blocking():
+        current = 0
+        for i, frame in enumerate(frames):
+            if not frame.header().is_variable_blocking():
+                raise VerifyError(
+                    f"stream.frames[{i}].header.variable_block_size",
+                    "must be same for all frames",
+                )
+            if frame.header().start_sample_number != current:
+                raise VerifyError(
+                    f"stream.frames[{i}].header.start_sample_number",
+                    "must be the sum of the block sizes of the preceding frames",
+                )
+            try:
+                verify_frame(frame)
+            except VerifyError as e:
+                raise e.within(f"stream.frames[{i}]")
+            current = (current + frame.header().block_size()) % (1 << 64)
+        return
+    info = stream.stream_info()
+    if info.min_block_size != info.max_block_size:
+        raise VerifyError(
+            "stream.min_block_size",
+            "must be equal for fixed-blocking streams",
+        )
+    for i, frame in enumerate(frames):
         if frame.header().is_variable_blocking():
             raise VerifyError(
-                f"stream.frames[{i}]", "variable blocking in fixed-block stream"
+                f"stream.frames[{i}].header.variable_block_size",
+                "must be same for all frames",
             )
         if frame.header().frame_number != i:
             raise VerifyError(

@@ -121,3 +121,76 @@ def test_cli_decode_malformed_exits_dataerr(tmp_path):
     bad.write_bytes(bytes(buf))
     rc = main(["decode", str(bad), "-o", str(tmp_path / "out.wav")])
     assert rc == 65  # EX_DATAERR
+
+
+def test_parser_preserves_wire_tags_byte_exact():
+    """A legal stream using NON-canonical frame-header tags must re-serialize
+    byte-identically: the parser preserves wire tags instead of canonicalizing
+    (parser.rs block_size_code / sample_rate_code keep the exact variant)."""
+    import numpy as np
+
+    from flacenc_tpu import config, source
+    from flacenc_tpu.component import parse_stream
+    from flacenc_tpu.component.datatype import BlockSizeSpec, SampleRateSpec
+    from flacenc_tpu.models import reference_encoder as re_
+
+    # length a multiple of the block size: every frame is 256 samples, so
+    # rewriting every header's block-size spec below stays consistent
+    x = np.arange(2 * 768, dtype=np.int32) % 251 - 125
+    cfg = config.Encoder().into_verified()
+    stream = re_.encode_with_fixed_block_size(
+        cfg, source.MemSource(x, 2, 16, 44100), 256
+    )
+    # rewrite headers with non-canonical specs: block 256 via tag 7
+    # (extra=255) and rate 44100 via tag 13 (Hz literal)
+    for f in stream.frames():
+        f.precomputed_bitstream = None
+        f.header().block_size_spec = BlockSizeSpec(7, 255, 256)
+        f.header().sample_rate_spec = SampleRateSpec(13, 44100, 44100)
+    data = stream.to_bytes()
+    reparsed = parse_stream(data)
+    assert reparsed.to_bytes() == data
+    hdr = reparsed.frames()[0].header()
+    assert hdr.block_size_spec.tag == 7 and hdr.block_size_spec.extra == 255
+    assert hdr.sample_rate_spec.tag == 13 and hdr.sample_rate_spec.extra == 44100
+
+
+def test_parser_rejects_reserved_header_bits_and_bad_heads():
+    """Reference parity: the bit after the 14-bit sync and the bit after the
+    sample-size tag must be 0 (parser.rs:263,270); utf8-like head 0xFF is
+    rejected; the first metadata block must be STREAMINFO (parser.rs:55-60)."""
+    import numpy as np
+
+    from flacenc_tpu import config, source
+    from flacenc_tpu.component import parse_stream
+    from flacenc_tpu.component.parser import BitReader, ParseError, parse_utf8like
+    from flacenc_tpu.models import reference_encoder as re_
+
+    x = (np.arange(2 * 300, dtype=np.int32) % 101) - 50
+    cfg = config.Encoder().into_verified()
+    data = bytearray(
+        re_.encode_with_fixed_block_size(
+            cfg, source.MemSource(x, 2, 16, 44100), 256
+        ).to_bytes()
+    )
+    # locate the first frame: after fLaC + STREAMINFO block (4 + 4 + 34)
+    fo = 42
+    assert data[fo] == 0xFF and data[fo + 1] & 0xF8 == 0xF8
+    bad = bytearray(data)
+    bad[fo + 1] |= 0x04  # reserved bit 15 (0xFFFA..)
+    with pytest.raises(ParseError):
+        parse_stream(bytes(bad))
+
+    # utf8-like head table parity (parser.rs:382-416)
+    assert parse_utf8like(BitReader(bytes([0x7F]))) == 0x7F
+    # heads 0x80-0xDF take ONE trailing byte, acc = head & 0x1F
+    assert parse_utf8like(BitReader(bytes([0xBF, 0x12]))) == ((0xBF & 0x1F) << 6) | 0x12
+    assert parse_utf8like(BitReader(bytes([0xC2, 0x80]))) == 0x80
+    with pytest.raises(ParseError):
+        parse_utf8like(BitReader(bytes([0xFF] * 8)))
+
+    # first metadata block must be STREAMINFO: replace block type 0 -> 4
+    notsi = bytearray(data)
+    notsi[4] = (notsi[4] & 0x80) | 0x04
+    with pytest.raises(ParseError):
+        parse_stream(bytes(notsi))
