@@ -1126,6 +1126,7 @@ def encode_with_fixed_block_size(
     """
     import os as _os
 
+    explicit_strict = strict_lpc is True
     if strict_lpc is None:
         strict_lpc = _os.environ.get("FLACENC_STRICT_LPC", "") == "1"
     if isinstance(config, Verified):
@@ -1133,7 +1134,17 @@ def encode_with_fixed_block_size(
     else:
         _sub = config.subframe_coding
     if _sub.qlpc.use_direct_mse:
-        strict_lpc = False  # strict mode covers the autocorrelation method only
+        # strict mode covers the autocorrelation method only; refuse an
+        # EXPLICIT request instead of silently downgrading (env-derived
+        # strictness falls back to the documented default semantics)
+        if explicit_strict:
+            raise ValueError(
+                "strict_lpc covers the autocorrelation method; the "
+                "experimental direct-MSE/IRLS estimators have no strict "
+                "float path (the reference gates them behind the "
+                "'experimental' feature)"
+            )
+        strict_lpc = False
     from ..component.datatype import Stream
 
     cfg = config.inner if isinstance(config, Verified) else config

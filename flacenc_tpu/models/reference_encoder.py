@@ -31,7 +31,7 @@ from ..component.datatype import (
     SubFrame,
     Verbatim,
 )
-from ..errors import EncodeError, RangeError, Verified
+from ..errors import RangeError, Verified
 from ..ops import ref_np
 from ..source import Context, FrameBuf, Source
 

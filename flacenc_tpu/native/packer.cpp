@@ -561,41 +561,36 @@ void flacenc_strict_qlpc(
 
         for (int d = 0; d < lpc_order; ++d) coefs[d] = 0.0;
         if (corr[0] != 0.0) {
-            // symmetric_levinson_recursion<f64> with diagonal loading
-            double loading = 0.0;
-            bool done = false;
-            while (!done) {
-                done = true;
-                for (int d = 0; d < lpc_order; ++d) {
-                    coefs[d] = 0.0;
-                    forward[d] = 0.0;
-                }
-                forward[0] = 1.0 / (corr[0] + loading);
-                coefs[0] = corr[1] / (corr[0] + loading);
-                for (int nn = 1; nn < lpc_order; ++nn) {
-                    double error = 0.0;
-                    for (int d = 0; d < nn; ++d)
-                        error = std::fma(corr[nn - d], forward[d], error);
-                    const double denom = std::fma(error, -error, 1.0);
-                    if (denom == 0.0) {
-                        loading = std::max(1.0, loading + loading);
-                        done = false;
-                        break;
-                    }
-                    const double alpha = 1.0 / denom;
-                    const double beta = -alpha * error;
-                    for (int d = 0; d <= nn; ++d)
-                        forward_next[d] =
-                            std::fma(alpha, forward[d], beta * forward[nn - d]);
-                    for (int d = 0; d <= nn; ++d) forward[d] = forward_next[d];
-                    double delta = 0.0;
-                    for (int d = 0; d < nn; ++d)
-                        delta = std::fma(corr[nn - d], coefs[d], delta);
-                    // ys[nn] = corr[nn + 1]
-                    for (int d = 0; d <= nn; ++d)
-                        coefs[d] = std::fma(corr[nn + 1] - delta,
-                                            forward[nn - d], coefs[d]);
-                }
+            // symmetric_levinson_recursion<f64>. A zero reflection
+            // denominator SKIPS that order's update: the reference's
+            // `continue` binds to its inner `for n` loop (never_loop on
+            // the outer loop, lpc.rs:664-683), so diagonal loading never
+            // takes effect — reproduce the compiled behavior.
+            for (int d = 0; d < lpc_order; ++d) {
+                coefs[d] = 0.0;
+                forward[d] = 0.0;
+            }
+            forward[0] = 1.0 / corr[0];
+            coefs[0] = corr[1] / corr[0];
+            for (int nn = 1; nn < lpc_order; ++nn) {
+                double error = 0.0;
+                for (int d = 0; d < nn; ++d)
+                    error = std::fma(corr[nn - d], forward[d], error);
+                const double denom = std::fma(error, -error, 1.0);
+                if (denom == 0.0) continue;  // skip this order
+                const double alpha = 1.0 / denom;
+                const double beta = -alpha * error;
+                for (int d = 0; d <= nn; ++d)
+                    forward_next[d] =
+                        std::fma(alpha, forward[d], beta * forward[nn - d]);
+                for (int d = 0; d <= nn; ++d) forward[d] = forward_next[d];
+                double delta = 0.0;
+                for (int d = 0; d < nn; ++d)
+                    delta = std::fma(corr[nn - d], coefs[d], delta);
+                // ys[nn] = corr[nn + 1]
+                for (int d = 0; d <= nn; ++d)
+                    coefs[d] = std::fma(corr[nn + 1] - delta,
+                                        forward[nn - d], coefs[d]);
             }
         }
 

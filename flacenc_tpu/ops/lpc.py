@@ -58,55 +58,43 @@ def levinson(corr: jnp.ndarray, lpc_order: int) -> jnp.ndarray:
 
     corr: (..., order+1) f64. Solves T x = y with T[i][j] = corr[|i-j|],
     y = corr[1:]. Returns (..., order) f64 coefficients. Digital silence
-    (corr[0] == 0) yields zeros. Exact-zero reflection denominators retry
-    with doubled diagonal loading, per reference.
+    (corr[0] == 0) yields zeros. An order whose reflection denominator is
+    exactly zero is SKIPPED (forward/dest kept): the reference's `continue`
+    binds to its inner `for n` loop, so its diagonal-loading retry is dead
+    code (its own `#[allow(clippy::never_loop)]` confirms the outer loop
+    never repeats, lpc.rs:664-683) — a per-order masked skip reproduces
+    the compiled behavior exactly, batched.
     """
     batch_shape = corr.shape[:-1]
     coefs = corr[..., :lpc_order]
     ys = corr[..., 1 : lpc_order + 1]
     silent = corr[..., 0] == 0.0
 
-    def recursion(loading):
-        c0 = coefs[..., 0] + loading
-        safe_c0 = jnp.where(c0 == 0.0, 1.0, c0)
-        forward = jnp.zeros(batch_shape + (lpc_order,))
-        dest = jnp.zeros(batch_shape + (lpc_order,))
-        forward = forward.at[..., 0].set(1.0 / safe_c0)
-        dest = dest.at[..., 0].set(ys[..., 0] / safe_c0)
-        failed = jnp.zeros(batch_shape, dtype=bool)
-        for n in range(1, lpc_order):
-            # error = sum_{d<n} coefs[n-d] * forward[d]
-            cn = jnp.flip(coefs[..., 1 : n + 1], axis=-1)
-            error = (cn * forward[..., :n]).sum(axis=-1)
-            denom = 1.0 - error * error
-            failed = failed | (denom == 0.0)
-            safe_denom = jnp.where(denom == 0.0, 1.0, denom)
-            alpha = 1.0 / safe_denom
-            beta = -alpha * error
-            fwd_rev = jnp.flip(forward[..., : n + 1], axis=-1)
-            fwd_next = alpha[..., None] * forward[..., : n + 1] + beta[..., None] * fwd_rev
-            forward = forward.at[..., : n + 1].set(fwd_next)
-            delta = (cn * dest[..., :n]).sum(axis=-1)
-            upd = (ys[..., n] - delta)[..., None] * jnp.flip(
-                forward[..., : n + 1], axis=-1
-            )
-            dest = dest.at[..., : n + 1].set(dest[..., : n + 1] + upd)
-        return dest, failed
-
-    def cond(state):
-        _, failed, _ = state
-        return jnp.any(failed)
-
-    def body(state):
-        _, failed, loading = state
-        new_loading = jnp.where(
-            failed, jnp.maximum(1.0, loading + loading), loading
+    c0 = coefs[..., 0]
+    safe_c0 = jnp.where(c0 == 0.0, 1.0, c0)
+    forward = jnp.zeros(batch_shape + (lpc_order,))
+    dest = jnp.zeros(batch_shape + (lpc_order,))
+    forward = forward.at[..., 0].set(1.0 / safe_c0)
+    dest = dest.at[..., 0].set(ys[..., 0] / safe_c0)
+    for n in range(1, lpc_order):
+        # error = sum_{d<n} coefs[n-d] * forward[d]
+        cn = jnp.flip(coefs[..., 1 : n + 1], axis=-1)
+        error = (cn * forward[..., :n]).sum(axis=-1)
+        denom = 1.0 - error * error
+        skip = denom == 0.0
+        safe_denom = jnp.where(skip, 1.0, denom)
+        alpha = 1.0 / safe_denom
+        beta = -alpha * error
+        fwd_rev = jnp.flip(forward[..., : n + 1], axis=-1)
+        fwd_next = alpha[..., None] * forward[..., : n + 1] + beta[..., None] * fwd_rev
+        fwd_next = jnp.where(skip[..., None], forward[..., : n + 1], fwd_next)
+        forward = forward.at[..., : n + 1].set(fwd_next)
+        delta = (cn * dest[..., :n]).sum(axis=-1)
+        upd = (ys[..., n] - delta)[..., None] * jnp.flip(
+            forward[..., : n + 1], axis=-1
         )
-        dest, new_failed = recursion(new_loading)
-        return dest, new_failed & failed, new_loading
-
-    dest0, failed0 = recursion(jnp.zeros(batch_shape))
-    dest, _, _ = jax.lax.while_loop(cond, body, (dest0, failed0, jnp.zeros(batch_shape)))
+        upd = jnp.where(skip[..., None], 0.0, upd)
+        dest = dest.at[..., : n + 1].set(dest[..., : n + 1] + upd)
     return jnp.where(silent[..., None], 0.0, dest)
 
 

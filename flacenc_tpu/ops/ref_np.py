@@ -17,7 +17,7 @@ multiply-add instead of the reference's sequential FMA; see DESIGN.md
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -80,8 +80,8 @@ def auto_correlation(order: int, sig_f32: np.ndarray) -> np.ndarray:
 def symmetric_levinson_recursion(coefs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     """Solve the symmetric-Toeplitz system T x = y (lpc.rs:633-705).
 
-    T[i][j] = coefs[|i-j|]; retries with doubling diagonal loading whenever
-    a reflection denominator hits exactly zero.
+    T[i][j] = coefs[|i-j|]; an order whose reflection denominator is
+    exactly zero is skipped (see the semantics note below).
     """
     order = len(ys)
     dest = np.zeros(order, dtype=np.float64)
@@ -92,35 +92,34 @@ def symmetric_levinson_recursion(coefs: np.ndarray, ys: np.ndarray) -> np.ndarra
         )
         return dest
 
-    diagonal_loading = 0.0
-    while True:
-        forward = np.zeros(order, dtype=np.float64)
-        dest[:] = 0.0
-        forward[0] = 1.0 / (coefs[0] + diagonal_loading)
-        dest[0] = ys[0] / (coefs[0] + diagonal_loading)
-        retry = False
-        for n in range(1, order):
-            error = 0.0
-            for d in range(n):
-                error += coefs[n - d] * forward[d]
-            denom = 1.0 - error * error
-            if denom == 0.0:
-                diagonal_loading = max(1.0, diagonal_loading + diagonal_loading)
-                retry = True
-                break
-            alpha = 1.0 / denom
-            beta = -alpha * error
-            forward_next = np.zeros(order, dtype=np.float64)
-            for d in range(n + 1):
-                forward_next[d] = alpha * forward[d] + beta * forward[n - d]
-            forward[: n + 1] = forward_next[: n + 1]
-            delta = 0.0
-            for d in range(n):
-                delta += coefs[n - d] * dest[d]
-            for d in range(n + 1):
-                dest[d] = dest[d] + (ys[n] - delta) * forward[n - d]
-        if not retry:
-            break
+    # Degenerate-denominator semantics (lpc.rs:664-683): the reference's
+    # `continue` binds to the inner `for n` loop — NOT the outer `loop`,
+    # which its own `#[allow(clippy::never_loop)]` confirms never repeats —
+    # so an order whose reflection denominator is exactly zero is simply
+    # SKIPPED (forward/dest untouched) and the diagonal-loading update is
+    # dead code. We reproduce the compiled behavior, not the go-to the
+    # comment wished for.
+    forward = np.zeros(order, dtype=np.float64)
+    forward[0] = 1.0 / coefs[0]
+    dest[0] = ys[0] / coefs[0]
+    for n in range(1, order):
+        error = 0.0
+        for d in range(n):
+            error += coefs[n - d] * forward[d]
+        denom = 1.0 - error * error
+        if denom == 0.0:
+            continue  # skip this order, like the reference
+        alpha = 1.0 / denom
+        beta = -alpha * error
+        forward_next = np.zeros(order, dtype=np.float64)
+        for d in range(n + 1):
+            forward_next[d] = alpha * forward[d] + beta * forward[n - d]
+        forward[: n + 1] = forward_next[: n + 1]
+        delta = 0.0
+        for d in range(n):
+            delta += coefs[n - d] * dest[d]
+        for d in range(n + 1):
+            dest[d] = dest[d] + (ys[n] - delta) * forward[n - d]
     return dest
 
 
@@ -153,7 +152,12 @@ def find_shift(coefs: np.ndarray, precision: int) -> int:
 
 
 def _round_half_away(x: float) -> float:
-    return math.floor(x + 0.5) if x >= 0.0 else math.ceil(x - 0.5)
+    """Rust f64::round: nearest, half away from zero, with NO double
+    rounding — floor(x + 0.5) would round 0.49999999999999994 (the largest
+    double below 0.5, where x + 0.5 rounds up to exactly 1.0) to 1."""
+    f = math.floor(abs(x))
+    mag = f + (abs(x) - f >= 0.5)
+    return -mag if x < 0.0 else float(mag)
 
 
 def quantize_parameters(coefs: np.ndarray, precision: int) -> Tuple[np.ndarray, int, int]:
@@ -415,19 +419,29 @@ def weighted_lagged_outer_prod_sum(
 
 def _solve_spd(M: np.ndarray, y: np.ndarray) -> np.ndarray:
     """Cholesky solve with the reference's doubling regularization retry
-    (lpc.rs:885-894)."""
+    (lpc.rs:885-894). Solves THROUGH the Cholesky factor (forward + back
+    substitution), like the reference's nalgebra cholesky().solve_mut and
+    the device kernel (ops/lpc.py cholesky_solve_spd) — an LU solve of the
+    same system differs by ~1e-13 relative and would add an undocumented
+    deviation class."""
     regularizer = 0.0
     order = M.shape[0]
     Mr = M.copy()
     while True:
         try:
             L = np.linalg.cholesky(Mr)
-            x = np.linalg.solve(Mr, y)
-            return x
         except np.linalg.LinAlgError:
             old = regularizer
             regularizer = max(1.0, regularizer + regularizer)
             Mr[np.arange(order), np.arange(order)] += regularizer - old
+            continue
+        z = np.zeros(order, dtype=np.float64)
+        for i in range(order):
+            z[i] = (y[i] - float(L[i, :i] @ z[:i])) / L[i, i]
+        x = np.zeros(order, dtype=np.float64)
+        for i in range(order - 1, -1, -1):
+            x[i] = (z[i] - float(L[i + 1 :, i] @ x[i + 1 :])) / L[i, i]
+        return x
 
 
 def lpc_with_direct_mse(
@@ -442,15 +456,28 @@ def lpc_with_direct_mse(
 
 
 def compute_raw_errors(signal: np.ndarray, coefs: np.ndarray) -> np.ndarray:
-    """Float prediction errors (lpc.rs:606-618): err[t] = pred - signal, f32."""
+    """Float prediction errors (lpc.rs:606-618): err[t] = pred - signal.
+
+    The reference accumulates with f32 mul_add (FMA). CPython 3.12 has no
+    math.fma, so each step computes the product+sum exactly in f64 and
+    rounds once to f32 — equal to FMA except on double-rounding ties
+    (the f64 intermediate is itself rounded; measure-zero corner).
+    Vectorized over t (independent samples); the j-loop stays sequential
+    like the reference's tap order."""
     order = len(coefs)
-    errors = np.zeros(len(signal), dtype=np.float32)
-    sig = signal.astype(np.float32)
-    for t in range(order, len(signal)):
-        e = np.float32(-sig[t])
-        for j in range(order):
-            e = np.float32(np.float32(coefs[j]) * sig[t - 1 - j] + e)
-        errors[t] = e
+    T = len(signal)
+    errors = np.zeros(T, dtype=np.float32)
+    if T <= order:
+        return errors
+    sig32 = signal.astype(np.float32)
+    sig64 = sig32.astype(np.float64)
+    e = (-sig64[order:]).astype(np.float32)
+    for j in range(order):
+        cj = np.float64(np.float32(coefs[j]))
+        e = (cj * sig64[order - 1 - j : T - 1 - j] + e.astype(np.float64)).astype(
+            np.float32
+        )
+    errors[order:] = e
     return errors
 
 
@@ -465,7 +492,11 @@ def lpc_with_irls_mae(
     for _ in range(steps + 1):
         coefs = lpc_with_direct_mse(signal, window, lpc_order, weights)
         raw = compute_raw_errors(signal, coefs)
-        sum_abs = float(np.abs(raw).sum(dtype=np.float32))
+        # sequential f32 fold like the reference's iter().sum::<f32>()
+        # (numpy's pairwise sum is a different f32 rounding order)
+        sum_abs = 0.0
+        for v in np.abs(raw):
+            sum_abs = float(np.float32(sum_abs + v))
         if sum_abs < best_error:
             best_error = sum_abs
             best_coefs = coefs

@@ -105,11 +105,18 @@ def encode_corpus(
     from ..models import batch_encoder as be
     from ..models import reference_encoder as ref
 
+    explicit_strict = strict_lpc is True
     if strict_lpc is None:
         strict_lpc = os.environ.get("FLACENC_STRICT_LPC", "") == "1"
     cfg = config.inner if isinstance(config, Verified) else config
     if cfg.subframe_coding.qlpc.use_direct_mse:
-        strict_lpc = False  # strict mode covers the autocorrelation method
+        if explicit_strict:
+            raise ValueError(
+                "strict_lpc covers the autocorrelation method; the "
+                "experimental direct-MSE/IRLS estimators have no strict "
+                "float path"
+            )
+        strict_lpc = False  # env-derived: documented default semantics
     stats = PipelineStats(files=len(sources))
     if not sources:
         return {}, stats

@@ -167,3 +167,48 @@ def test_compute_error_matches_reference_scalar_loop():
         expect = int(signal[t]) - (acc >> shift)
         assert errors[t] == np.int32(expect)
     assert np.all(errors[:4] == 0)
+
+
+def test_levinson_zero_denominator_skips_order():
+    """lpc.rs:664-683 compiled semantics: the reference's `continue` on a
+    zero reflection denominator binds to the inner `for n` loop (its
+    `#[allow(clippy::never_loop)]` proves the outer loop never repeats),
+    so the failing order is SKIPPED and diagonal loading never applies.
+    A constant signal (rectangle window) makes error == ±1.0 exactly:
+    the solution must stay at the order-1 result [1, 0, ...]."""
+    import numpy as np
+
+    from flacenc_tpu.ops import ref_np
+
+    sig = np.full(1024, 777.0)
+    corr = np.asarray(
+        [float(np.dot(sig[10:], sig[10 - t : 1024 - t])) for t in range(11)]
+    )
+    co = ref_np.symmetric_levinson_recursion(corr[:10], corr[1:11])
+    assert co[0] == 1.0 and np.all(co[1:] == 0.0), co
+
+    # device kernel agrees elementwise on the same degenerate input
+    import jax.numpy as jnp
+
+    from flacenc_tpu.ops import lpc as oL
+
+    dev = np.asarray(oL.levinson(jnp.asarray(corr)[None, :], 10))[0]
+    assert np.array_equal(dev, co)
+
+
+def test_explicit_strict_with_experimental_config_raises():
+    """strict_lpc=True + direct-MSE must error, not silently downgrade."""
+    import numpy as np
+    import pytest as _pytest
+
+    from flacenc_tpu import config, source
+    from flacenc_tpu.models import batch_encoder as be
+
+    cfg = config.Encoder()
+    cfg.subframe_coding.qlpc.use_direct_mse = True
+    x = np.zeros(2 * 256, np.int32)
+    with _pytest.raises(ValueError, match="strict_lpc"):
+        be.encode_with_fixed_block_size(
+            cfg.into_verified(), source.MemSource(x, 2, 16, 44100), 256,
+            batch_size=2, strict_lpc=True,
+        )
