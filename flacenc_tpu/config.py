@@ -113,8 +113,10 @@ class Prc:
     max_parameter: int = constants.rice.MAX_RICE_PARAMETER
 
     def verify(self) -> None:
+        # lower bound 0: the reference's usize type rejects negatives at
+        # deserialization (config.rs:211-229)
         verify_range(
-            "max_parameter", self.max_parameter, None, constants.rice.MAX_RICE_PARAMETER
+            "max_parameter", self.max_parameter, 0, constants.rice.MAX_RICE_PARAMETER
         )
 
     def to_dict(self) -> dict:
@@ -133,7 +135,7 @@ class Fixed:
     order_sel: OrderSel = dataclasses.field(default_factory=OrderSel)
 
     def verify(self) -> None:
-        verify_range("max_order", self.max_order, None, constants.fixed.MAX_LPC_ORDER)
+        verify_range("max_order", self.max_order, 0, constants.fixed.MAX_LPC_ORDER)
         self.order_sel.verify()
 
     def to_dict(self) -> dict:

@@ -83,9 +83,11 @@ def _finest_tables(
         axis=-1,
     )  # (..., nparts, 32)
     sums = jnp.minimum(sums, MAX_P_TO_BITS)
-    # length terms: partition 0 loses `warmup` samples
+    # length terms: partition 0 loses `warmup` samples. NOTE: the Pallas
+    # branch in find_partitioned_rice_parameters applies the same
+    # 4 + len*(p+1) offset to its kernel-computed sums — keep the two in
+    # sync when changing the partition-0 rule.
     lens = jnp.full((nparts,), part_len, dtype=jnp.int64)
-    lens = lens.at[0].add(0)  # shape anchor
     lens = jnp.broadcast_to(lens, warm.shape[:-1] + (nparts,)).at[..., 0].add(
         -warmup.astype(jnp.int64)
     )

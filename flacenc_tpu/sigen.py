@@ -28,9 +28,12 @@ class Signal:
         buf = np.zeros(block_size, dtype=np.float32)
         self.fill_buffer(0, buf)
         scaled = np.float32(scalefactor) * buf
-        rounded = np.where(
-            scaled >= 0, np.floor(scaled + np.float32(0.5)), np.ceil(scaled - np.float32(0.5))
-        )
+        # Rust f32::round = half away from zero with a SINGLE rounding:
+        # floor(x + 0.5f32) would round the largest f32 below 0.5 up to 1.
+        # f32 values are exact in f64, so the frac comparison is exact.
+        a = np.abs(scaled.astype(np.float64))
+        f = np.floor(a)
+        rounded = np.where(scaled < 0, -(f + (a - f >= 0.5)), f + (a - f >= 0.5))
         return np.clip(rounded, lo, hi).astype(np.int32)
 
     def clip(self) -> "Clip":
@@ -71,8 +74,13 @@ class Sine(Signal):
         from .ops.windows import sinf
 
         # f32 chain mirrors sigen.rs:160-167: phase + 2*PI * t / period,
-        # evaluated with libm sinf (what Rust f32::sin lowers to)
-        t = np.arange(sample_offset, sample_offset + len(dest), dtype=np.float32)
+        # evaluated with libm sinf (what Rust f32::sin lowers to).
+        # (t + offset) is cast usize -> f32 PER SAMPLE in the reference;
+        # arange(dtype=float32) accumulates differently past 2^24, so
+        # build exact integers in f64 and round each to f32
+        t = np.arange(
+            sample_offset, sample_offset + len(dest), dtype=np.float64
+        ).astype(np.float32)
         two_pi = np.float32(2.0) * np.float32(math.pi)
         arg = self.initial_phase + two_pi * t / np.float32(self.period)
         dest[:] = self.amplitude * sinf(arg)
@@ -117,9 +125,16 @@ class Mix(Signal):
     def fill_buffer(self, sample_offset: int, dest: np.ndarray) -> None:
         buf = np.zeros(len(dest), dtype=np.float32)
         self.signal1.fill_buffer(sample_offset, buf)
+        # sigen.rs:265-269 uses f32 mul_add: the first pass adds to zero
+        # (a lone product, same rounding either way); the second pass
+        # emulates FMA as one f64 product+add rounded once to f32 (equal
+        # except on measure-zero double-rounding ties)
         dest[:] = self.weight1 * buf
         self.signal2.fill_buffer(sample_offset, buf)
-        dest[:] += self.weight2 * buf
+        dest[:] = (
+            np.float64(self.weight2) * buf.astype(np.float64)
+            + dest.astype(np.float64)
+        ).astype(np.float32)
 
 
 class Clip(Signal):

@@ -45,20 +45,23 @@ def read_wav(path: str) -> Tuple[np.ndarray, int, int, int]:
             audio_format = struct.unpack("<H", fmt[24:26])[0]
         if audio_format != 1:  # PCM only
             raise SourceError(SourceError.UNSUPPORTED_FORMAT, path)
-        bytes_per_sample = bits // 8
+        if not (8 <= bits <= 32):
+            raise SourceError(SourceError.UNSUPPORTED_FORMAT, path)
+        # container bytes per sample = ceil(bits/8): 12-bit PCM is stored
+        # right-aligned sign-extended in 2 bytes, 20-bit in 3 (hound does
+        # the same in the reference CLI)
+        bytes_per_sample = -(-bits // 8)
         n = len(data) // bytes_per_sample
-        samples = le_bytes_to_samples(data[: n * bytes_per_sample], bytes_per_sample)
         if bits == 8:
-            samples = samples.astype(np.int32)
-            samples = np.where(samples >= 0, samples - 128, samples + 128)
-            # WAV 8-bit is unsigned (0..255); bytes read as i8 need +-128 swap
-            raw = np.frombuffer(data[: n], dtype=np.uint8).astype(np.int32) - 128
-            samples = raw
+            # WAV 8-bit is unsigned (0..255) offset binary
+            samples = np.frombuffer(data[:n], dtype=np.uint8).astype(np.int32) - 128
+        else:
+            samples = le_bytes_to_samples(data[: n * bytes_per_sample], bytes_per_sample)
         return samples.astype(np.int32), channels, bits, rate
 
 
 def write_wav(path: str, interleaved: np.ndarray, channels: int, bits: int, rate: int) -> None:
-    bytes_per_sample = bits // 8
+    bytes_per_sample = -(-bits // 8)
     if bits == 8:
         payload = (np.asarray(interleaved, np.int32) + 128).astype(np.uint8).tobytes()
     else:
@@ -67,13 +70,15 @@ def write_wav(path: str, interleaved: np.ndarray, channels: int, bits: int, rate
     block_align = channels * bytes_per_sample
     with open(path, "wb") as f:
         f.write(b"RIFF")
-        f.write(struct.pack("<I", 36 + len(payload)))
+        f.write(struct.pack("<I", 36 + len(payload) + (len(payload) & 1)))
         f.write(b"WAVE")
         f.write(b"fmt ")
         f.write(struct.pack("<IHHIIHH", 16, 1, channels, rate, byte_rate, block_align, bits))
         f.write(b"data")
         f.write(struct.pack("<I", len(payload)))
         f.write(payload)
+        if len(payload) & 1:
+            f.write(b"\x00")  # RIFF chunks are word-aligned
 
 
 class WavFileSource(Seekable):
@@ -114,7 +119,9 @@ class WavFileSource(Seekable):
             audio_format = struct.unpack("<H", fmt[24:26])[0]
         if audio_format != 1:
             raise SourceError(SourceError.UNSUPPORTED_FORMAT, path)
-        self._bytes_per_sample = self._bits // 8
+        if not (8 <= self._bits <= 32):
+            raise SourceError(SourceError.UNSUPPORTED_FORMAT, path)
+        self._bytes_per_sample = -(-self._bits // 8)  # ceil: 12-bit -> 2B
         self._pos = 0  # bytes consumed within data chunk
         self._f.seek(self._data_start)
 

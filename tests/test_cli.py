@@ -147,3 +147,35 @@ def test_stream_encoder_with_wav_file_source(tmp_path):
     from flacenc_tpu.component import decode_stream, parse_stream
 
     assert np.array_equal(decode_stream(parse_stream(d.to_bytes())), x)
+
+
+def test_wav_non_multiple_of_8_bits(tmp_path):
+    """12-/20-bit WAVs store samples in ceil(bits/8) container bytes
+    (right-aligned, sign-extended — hound's convention in the reference
+    CLI); bytes_per_sample = bits//8 would regroup them as garbage."""
+    from flacenc_tpu.wav import read_wav, write_wav
+
+    for bits, amp in ((12, 2000), (20, 400000)):
+        n = 301
+        x = ((np.arange(2 * n) * 37) % (2 * amp) - amp).astype(np.int32)
+        p = tmp_path / f"b{bits}.wav"
+        write_wav(str(p), x, 2, bits, 44100)
+        y, ch, b2, rate = read_wav(str(p))
+        assert (ch, b2, rate) == (2, bits, 44100)
+        assert np.array_equal(y, x)
+        src = WavFileSource(str(p))
+        fb = FrameBuf(2, n)
+        assert src.read_samples(n, fb) == n
+        assert np.array_equal(
+            np.ascontiguousarray(fb.samples.T).reshape(-1), x
+        )
+
+    # odd-length 8-bit data chunk gets a RIFF pad byte
+    from flacenc_tpu.wav import write_wav as ww
+
+    p = tmp_path / "odd8.wav"
+    ww(str(p), np.arange(-1, 2, dtype=np.int32), 1, 8, 8000)
+    raw = p.read_bytes()
+    assert len(raw) % 2 == 0  # word-aligned file
+    y, ch, b2, rate = read_wav(str(p))
+    assert np.array_equal(y, np.arange(-1, 2, dtype=np.int32))
