@@ -30,6 +30,7 @@ EX_USAGE = 64
 EX_DATAERR = 65
 EX_NOINPUT = 66
 EX_SOFTWARE = 70
+EX_CANTCREAT = 73
 EX_IOERR = 74
 
 
@@ -131,7 +132,7 @@ def main_enc(args) -> int:
     if args.config:
         with open(args.config) as f:
             cfg = config_mod.Encoder.from_toml(f.read())
-    if args.block_size:
+    if args.block_size is not None:
         cfg.block_size = args.block_size
     verified = cfg.into_verified()
 
@@ -180,7 +181,6 @@ def main_enc(args) -> int:
 
 def main_corpus(args) -> int:
     import os
-    import time as _t
 
     from .parallel import encode_corpus
     from .wav import WavFileSource
@@ -189,13 +189,13 @@ def main_corpus(args) -> int:
     if args.config:
         with open(args.config) as f:
             cfg = config_mod.Encoder.from_toml(f.read())
-    if args.block_size:
+    if args.block_size is not None:
         cfg.block_size = args.block_size
     verified = cfg.into_verified()
 
     sources = [(path, WavFileSource(path)) for path in args.sources]
     os.makedirs(args.output_dir, exist_ok=True)
-    t0 = _t.perf_counter()
+    t0 = time.perf_counter()
     corpus_kwargs = {}
     if args.batch_size:
         corpus_kwargs["batch_size"] = args.batch_size
@@ -203,7 +203,7 @@ def main_corpus(args) -> int:
         sources, verified, cfg.block_size,
         strict_lpc=True if args.strict_float else None, **corpus_kwargs,
     )
-    wall = _t.perf_counter() - t0
+    wall = time.perf_counter() - t0
     total_in = total_out = 0
     audio_s = 0.0
     for path, src in sources:
@@ -226,7 +226,13 @@ def main_corpus(args) -> int:
 def main_dec(args) -> int:
     with open(args.source, "rb") as f:
         data = f.read()
-    stream = parse_stream(data, verify_crc=not args.no_verify)
+    try:
+        stream = parse_stream(data, verify_crc=not args.no_verify)
+    except FlacencError as e:
+        # parse failures are EX_NOINPUT like the reference
+        # (main.rs:283-293), not EX_DATAERR
+        display.error(f"failed to parse the source FLAC file: {e}")
+        return EX_NOINPUT
     if args.dump_struct:
         tree = _stream_struct(stream)
         if args.dump_struct.endswith(".json"):
@@ -252,7 +258,8 @@ def main_dec(args) -> int:
     display.progress_decoded(
         args.source, args.output, len(decoded) // max(info.channels, 1), md5_ok
     )
-    return 0 if md5_ok else EX_DATAERR
+    # MD5 mismatch exits EX_CANTCREAT like the reference (main.rs:352-356)
+    return 0 if md5_ok else EX_CANTCREAT
 
 
 def main(argv=None) -> int:
@@ -273,21 +280,24 @@ def main(argv=None) -> int:
         return main_dec(args)
     except FileNotFoundError as e:
         # the reference maps INPUT-open failures to EX_NOINPUT
-        # (flacenc-bin/src/main.rs:226,281-293); a missing output
-        # directory is an I/O error
+        # (flacenc-bin/src/main.rs:226,281-293) and output-create
+        # failures to EX_CANTCREAT (main.rs:251,309)
         display.error(str(e))
         inputs = set(getattr(args, "sources", None) or [])
         if getattr(args, "source", None):
             inputs.add(args.source)
         if getattr(args, "config", None):
             inputs.add(args.config)
-        return EX_NOINPUT if e.filename in inputs else EX_IOERR
+        return EX_NOINPUT if e.filename in inputs else EX_CANTCREAT
     except OSError as e:
         display.error(str(e))
         return EX_IOERR
     except FlacencError as e:
         display.error(str(e))
         return EX_DATAERR
+    except Exception as e:  # internal errors: EX_SOFTWARE (main.rs:234)
+        display.error(f"internal error: {type(e).__name__}: {e}")
+        return EX_SOFTWARE
 
 
 if __name__ == "__main__":

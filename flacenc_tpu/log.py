@@ -16,8 +16,15 @@ logger = logging.getLogger("flacenc_tpu")
 
 _level = os.environ.get("FLACENC_LOG", "").upper()
 if _level:
-    logging.basicConfig(level=getattr(logging, _level, logging.INFO))
-    logger.setLevel(getattr(logging, _level, logging.INFO))
+    # env_logger levels: error/warn/info/debug/trace; python has no TRACE,
+    # so the most-verbose level maps to DEBUG (not silently to INFO)
+    _resolved = {
+        "ERROR": logging.ERROR, "WARN": logging.WARNING,
+        "WARNING": logging.WARNING, "INFO": logging.INFO,
+        "DEBUG": logging.DEBUG, "TRACE": logging.DEBUG,
+    }.get(_level, logging.INFO)
+    logging.basicConfig(level=_resolved)
+    logger.setLevel(_resolved)
 
 
 def info_stats(**stats) -> None:

@@ -131,6 +131,10 @@ static inline void put_utf8like(BitWriter& w, uint64_t val) {
     }
     static const uint8_t heads[7] = {0x80, 0xC0, 0xE0, 0xF0, 0xF8, 0xFC, 0xFE};
     int trailing = (code_bits - 2) / 5;
+    if (trailing > 6) trailing = 6;  // FLAC numbers are <= 36 bits
+                                     // (bitrepr.rs RangeError above that);
+                                     // bound the table index defensively
+
     int capacity = trailing * 6 + 6 - trailing;
     int first_bits = 6 - trailing;
     uint64_t v = val << (64 - capacity);
@@ -762,7 +766,9 @@ int64_t flacenc_parse_residual(
     const int nparts = 1 << order;
     const int part_len = block_size >> order;
     if (part_len <= 0 || part_len << order != block_size) return -1;
-    if (part_len < warmup && nparts > 1) return -1;
+    // NOTE: warmup may span several partitions (per-sample skip below,
+    // like the reference parser.rs residual() and the Python fallback) —
+    // do not reject part_len < warmup here.
 
     int t_end = 0;
     for (int p = 0; p < nparts; ++p) {

@@ -51,7 +51,10 @@ def shard_encoder_fn(encode_batch, mesh: Mesh):
 
 def total_bits_psum(sf_bits: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     """Aggregate subframe bits across the mesh (ICI psum collective)."""
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
 
     def local_sum(x):
         return jax.lax.psum(x.sum(), BLOCK_AXIS)

@@ -91,15 +91,15 @@ def test_cli_missing_input_exits_noinput(tmp_path):
     assert rc == 66  # EX_NOINPUT
 
 
-def test_cli_missing_output_dir_exits_ioerr(tmp_path):
-    """r2 review finding: a missing OUTPUT directory is EX_IOERR (74), not
-    EX_NOINPUT — only input-open failures map to 66 (main.rs:226,281-293)."""
+def test_cli_missing_output_dir_exits_cantcreat(tmp_path):
+    """Output-create failures are EX_CANTCREAT (73) like the reference
+    (main.rs:251,309); only input-open failures map to EX_NOINPUT 66."""
     _make_wav(tmp_path / "in.wav", 2, 16, 44100, 2000)
     rc = main([
         "encode", str(tmp_path / "in.wav"),
         "-o", str(tmp_path / "no_such_dir" / "out.flac"),
     ])
-    assert rc == 74
+    assert rc == 73
 
 
 def test_cli_strict_float_and_profile_trace(tmp_path):

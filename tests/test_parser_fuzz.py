@@ -111,7 +111,7 @@ def test_crc16_catches_residual_payload_flip():
         parse_stream(bytes(buf))
 
 
-def test_cli_decode_malformed_exits_dataerr(tmp_path):
+def test_cli_decode_malformed_exits_noinput(tmp_path):
     from flacenc_tpu.cli import main
 
     data, _ = _stream_bytes()
@@ -120,7 +120,7 @@ def test_cli_decode_malformed_exits_dataerr(tmp_path):
     bad = tmp_path / "bad.flac"
     bad.write_bytes(bytes(buf))
     rc = main(["decode", str(bad), "-o", str(tmp_path / "out.wav")])
-    assert rc == 65  # EX_DATAERR
+    assert rc == 66  # EX_NOINPUT: parse failures, like main.rs:283-293
 
 
 def test_parser_preserves_wire_tags_byte_exact():
@@ -194,3 +194,33 @@ def test_parser_rejects_reserved_header_bits_and_bad_heads():
     notsi[4] = (notsi[4] & 0x80) | 0x04
     with pytest.raises(ParseError):
         parse_stream(bytes(notsi))
+
+
+def test_residual_warmup_spanning_partitions_parses_both_paths():
+    """A legal residual whose warmup spans several partitions (part_len <
+    warmup) must parse identically through the native C++ parser and the
+    Python fallback (the native path used to reject it outright)."""
+    import numpy as np
+
+    from flacenc_tpu import native
+    from flacenc_tpu.bitio import BitSink
+    from flacenc_tpu.component.datatype import Residual
+    from flacenc_tpu.component.parser import BitReader, parse_residual
+
+    block, order, warmup = 64, 4, 12  # part_len 4 < warmup 12
+    nparts = 1 << order
+    rng = np.random.default_rng(5)
+    q = rng.integers(0, 3, block, dtype=np.int64).astype(np.uint32)
+    rem = rng.integers(0, 4, block, dtype=np.int64).astype(np.uint32)
+    q[:warmup] = 0
+    rem[:warmup] = 0
+    res = Residual(order, block, warmup,
+                   np.full(nparts, 2, np.uint8), q, rem)
+    sink = BitSink()
+    res.write(sink)
+    sink.align_to_byte()
+    data = sink.as_bytes()
+    parsed = parse_residual(BitReader(data), block, warmup)
+    assert parsed.partition_order == order
+    assert np.array_equal(parsed.quotients, q)
+    assert np.array_equal(parsed.remainders, rem)
