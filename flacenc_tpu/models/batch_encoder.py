@@ -40,7 +40,7 @@ from ..ops import fixed as ops_fixed
 from ..ops import lpc as ops_lpc
 from ..ops import rice as ops_rice
 from ..ops.windows import get_window
-from ..source import AsyncContext, FrameBuf, Source
+from ..source import AsyncContext, FrameBuf, Source, verify_sample_range
 from . import reference_encoder
 
 import jax
@@ -54,6 +54,13 @@ _L, _R, _M, _S = 0, 1, 2, 3
 _SLOT0 = np.array([_L, _L, _S, _M], dtype=np.int32)  # per assignment code
 _SLOT1 = np.array([_R, _S, _R, _S], dtype=np.int32)
 _ASSIGN_TAGS = np.array([1, 8, 9, 10], dtype=np.int32)  # FLAC header tags
+# assignment code -> ChannelAssignment (immutable; shared by the packers)
+_CH_INFO_BY_CODE = [
+    ChannelAssignment.independent(2),
+    ChannelAssignment.left_side(),
+    ChannelAssignment.right_side(),
+    ChannelAssignment.mid_side(),
+]
 
 
 class DeviceEncoded(NamedTuple):
@@ -561,6 +568,31 @@ def _host_errors(enc, signal: np.ndarray, cfg) -> np.ndarray:
     return errors
 
 
+def _assemble_frames(assign, nchannels, frame_numbers, sample_rate, bps,
+                     block_size, data, sizes) -> List[Frame]:
+    """Shared tail of the native packers: Frame objects carrying sliced
+    precomputed bitstreams (datatype.rs:1036-1049)."""
+    frames: List[Frame] = []
+    offset = 0
+    view = memoryview(data)
+    stereo = nchannels == 2
+    for b in range(len(sizes)):
+        if stereo:
+            ch_info = _CH_INFO_BY_CODE[assign[b]]
+        else:
+            ch_info = ChannelAssignment.independent(nchannels)
+        header = reference_encoder._new_frame_header(
+            block_size, ch_info, sample_rate, bps
+        )
+        header.set_frame_number(int(frame_numbers[b]))
+        frame = Frame(header, [])
+        end = offset + int(sizes[b])
+        frame.precomputed_bitstream = bytes(view[offset:end])
+        offset = end
+        frames.append(frame)
+    return frames
+
+
 def pack_frames_native(
     enc, blocks, frame_numbers, cfg, nchannels, bps, sample_rate, block_size
 ) -> List[Frame]:
@@ -580,7 +612,11 @@ def pack_frames_native(
         ch_tag = np.full(B, nchannels - 1, dtype=np.int32)
 
     bs = BlockSizeSpec.from_size(block_size)
-    sr = SampleRateSpec.from_freq(sample_rate) or SampleRateSpec.UNSPECIFIED
+    # rate 0/None means "not provided" -> unspecified tag (from_freq(0)
+    # would yield a truthy tag-12 '0 kHz' spec)
+    sr = (
+        SampleRateSpec.from_freq(sample_rate) if sample_rate else None
+    ) or SampleRateSpec.UNSPECIFIED
     ss = SampleSizeSpec.from_bits(bps)
     signal = _slot_signals(blocks, assign, nchannels)
     errors = _host_errors(enc, signal, cfg)
@@ -595,29 +631,10 @@ def pack_frames_native(
         (sr.tag, sr.count_extra_bits(), sr.extra or 0),
         ss.tag,
     )
-    frames: List[Frame] = []
-    offset = 0
-    view = memoryview(data)
-    for b in range(B):
-        if stereo:
-            ch_info = [
-                ChannelAssignment.independent(2),
-                ChannelAssignment.left_side(),
-                ChannelAssignment.right_side(),
-                ChannelAssignment.mid_side(),
-            ][assign[b]]
-        else:
-            ch_info = ChannelAssignment.independent(nchannels)
-        header = reference_encoder._new_frame_header(
-            block_size, ch_info, sample_rate, bps
-        )
-        header.set_frame_number(int(frame_numbers[b]))
-        frame = Frame(header, [])
-        end = offset + int(sizes[b])
-        frame.precomputed_bitstream = bytes(view[offset:end])
-        offset = end
-        frames.append(frame)
-    return frames
+    return _assemble_frames(
+        assign, nchannels, frame_numbers, sample_rate, bps, block_size,
+        data, sizes,
+    )
 
 
 def pack_frames_decisions(
@@ -646,7 +663,11 @@ def pack_frames_decisions(
         ch_tag = np.full(B, nchannels - 1, dtype=np.int32)
 
     bs = BlockSizeSpec.from_size(block_size)
-    sr = SampleRateSpec.from_freq(sample_rate) or SampleRateSpec.UNSPECIFIED
+    # rate 0/None means "not provided" -> unspecified tag (from_freq(0)
+    # would yield a truthy tag-12 '0 kHz' spec)
+    sr = (
+        SampleRateSpec.from_freq(sample_rate) if sample_rate else None
+    ) or SampleRateSpec.UNSPECIFIED
     ss = SampleSizeSpec.from_bits(bps)
     data, sizes = native.pack_frames_recompute(
         blocks, assign,
@@ -659,29 +680,10 @@ def pack_frames_decisions(
         (sr.tag, sr.count_extra_bits(), sr.extra or 0),
         ss.tag,
     )
-    frames: List[Frame] = []
-    offset = 0
-    view = memoryview(data)
-    for b in range(B):
-        if stereo:
-            ch_info = [
-                ChannelAssignment.independent(2),
-                ChannelAssignment.left_side(),
-                ChannelAssignment.right_side(),
-                ChannelAssignment.mid_side(),
-            ][assign[b]]
-        else:
-            ch_info = ChannelAssignment.independent(nchannels)
-        header = reference_encoder._new_frame_header(
-            block_size, ch_info, sample_rate, bps
-        )
-        header.set_frame_number(int(frame_numbers[b]))
-        frame = Frame(header, [])
-        end = offset + int(sizes[b])
-        frame.precomputed_bitstream = bytes(view[offset:end])
-        offset = end
-        frames.append(frame)
-    return frames
+    return _assemble_frames(
+        assign, nchannels, frame_numbers, sample_rate, bps, block_size,
+        data, sizes,
+    )
 
 
 def frames_from_device(
@@ -708,12 +710,7 @@ def frames_from_device(
     stereo = nchannels == 2
     for b in range(B):
         if stereo:
-            ch_info = [
-                ChannelAssignment.independent(2),
-                ChannelAssignment.left_side(),
-                ChannelAssignment.right_side(),
-                ChannelAssignment.mid_side(),
-            ][assign[b]]
+            ch_info = _CH_INFO_BY_CODE[assign[b]]
         else:
             ch_info = ChannelAssignment.independent(nchannels)
         header = reference_encoder._new_frame_header(T, ch_info, sample_rate, bps)
@@ -824,7 +821,8 @@ def _strict_ext_arrays(chunk: np.ndarray, cfg, nchannels: int, bps: int, window)
         flat, window, sub.qlpc.lpc_order, sub.qlpc.quant_precision,
     )
     ext = [
-        q.reshape(B, K, 24), o.reshape(B, K).astype(np.int32),
+        q.reshape(B, K, ops_lpc.MAX_LPC_ORDER),
+        o.reshape(B, K).astype(np.int32),
         sh.reshape(B, K).astype(np.int32),
     ]
     if sub.use_fixed and sub.fixed.order_sel.type == "ApproxEnt":
@@ -888,8 +886,6 @@ class BatchPipeline:
             get_window(cfg.subframe_coding.qlpc.window, block_size)
             if strict_lpc else None
         )
-        self._lo = -(1 << (bps - 1))
-        self._hi = (1 << (bps - 1)) - 1
         self._fn = None  # built lazily on the first batch
         self._fn_packed = None
         explicit_pack = upload_pack is True
@@ -940,11 +936,17 @@ class BatchPipeline:
             return jax.device_put(a, self._sharding)
         return jnp.asarray(a)
 
-    def _upload_dispatch_fetch(self, chunk, ext, packed_arrays):
+    def _upload_dispatch_fetch(self, chunk, packed_arrays):
         """io thread: host->device, dispatch, device->host. With a mesh the
         inputs are batch-sharded and the program runs SPMD (no hot-path
-        collectives)."""
-        ext = ext or ()
+        collectives). Strict-mode host arrays are computed HERE (the
+        native call releases the GIL) so they overlap the read loop
+        instead of serializing submit()."""
+        ext = (
+            _strict_ext_arrays(chunk, self.cfg, self.nch, self.bps,
+                               self.strict_window)
+            if self.strict_lpc else ()
+        )
         if packed_arrays is not None:
             words, first = packed_arrays
             args = (self._put(words), self._put(first),
@@ -965,15 +967,7 @@ class BatchPipeline:
         """Queues one batch; returns a drained BatchResult once the
         pipeline is at depth, else None."""
         chunk = _bucket_pad(np.stack(blocks_list), self.batch_size)
-        if chunk.size and (
-            int(chunk.min()) < self._lo or int(chunk.max()) > self._hi
-        ):
-            from ..errors import VerifyError
-
-            raise VerifyError(
-                "framebuf.samples",
-                f"must be in range of {self.bps}-bit signed ints",
-            )
+        verify_sample_range(chunk, self.bps)
         if self._probe_upload:
             # one-time link probe, on the MAIN thread before any batch is
             # queued: a probe on the I/O pool would race another worker's
@@ -1020,13 +1014,8 @@ class BatchPipeline:
                 self.strict_lpc, self.packer == "native2",
                 wire_encoded=self.packer != "native2",
             )
-        ext = (
-            _strict_ext_arrays(chunk, self.cfg, self.nch, self.bps,
-                               self.strict_window)
-            if self.strict_lpc else None
-        )
         fut = self._pool.submit(
-            self._upload_dispatch_fetch, chunk, ext, packed_arrays
+            self._upload_dispatch_fetch, chunk, packed_arrays
         )
         nums = np.asarray(nums)
         if len(nums) < chunk.shape[0]:  # padding rows get dummy numbers

@@ -17,6 +17,18 @@ import numpy as np
 from .errors import SourceError, VerifyError
 
 
+def verify_sample_range(samples: np.ndarray, bits_per_sample: int) -> None:
+    """Range-check PCM against bps (source.rs:262-277); shared by FrameBuf
+    and the batch pipeline."""
+    lo = -(1 << (bits_per_sample - 1))
+    hi = (1 << (bits_per_sample - 1)) - 1
+    if samples.size and (int(samples.min()) < lo or int(samples.max()) > hi):
+        raise VerifyError(
+            "framebuf.samples",
+            f"must be in range of {bits_per_sample}-bit signed ints",
+        )
+
+
 def samples_to_le_bytes(interleaved: np.ndarray, bytes_per_sample: int) -> bytes:
     """int32 samples -> little-endian packed bytes (1-4 bytes/sample)."""
     return bytes(_samples_le_view(interleaved, bytes_per_sample))
@@ -283,13 +295,7 @@ class FrameBuf:
 
     def verify_samples(self, bits_per_sample: int) -> None:
         """Range-check samples against bps (source.rs:262-277)."""
-        lo = -(1 << (bits_per_sample - 1))
-        hi = (1 << (bits_per_sample - 1)) - 1
-        s = self.samples[:, : self.filled]
-        if s.size and (int(s.min()) < lo or int(s.max()) > hi):
-            raise VerifyError(
-                "framebuf.samples", f"must be in range of {bits_per_sample}-bit signed ints"
-            )
+        verify_sample_range(self.samples[:, : self.filled], bits_per_sample)
 
 
 class Source:
