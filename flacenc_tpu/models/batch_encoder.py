@@ -984,11 +984,23 @@ class BatchPipeline:
 
                 dt = None
                 base = chunk.astype(np.int16) if self.bps <= 16 else chunk
+                # bandwidth needs a payload that dwarfs fixed dispatch
+                # latency: tile small first batches up to ~4 MB so a tiny
+                # batch_size cannot misclassify a fast PCIe link as slow
+                reps = max(1, -(-4_000_000 // max(base.nbytes, 1)))
+                if reps > 1:
+                    base = np.tile(base, (reps,) + (1,) * (base.ndim - 1))
                 for i in (1, 2):  # distinct content per probe (defeats any
                     # content-addressed transport caching)
                     probe = np.ascontiguousarray(base ^ base.dtype.type(i))
                     t0 = _time.perf_counter()
-                    jax.block_until_ready(self._put(probe))
+                    dev = jnp.asarray(probe)
+                    # consume + fetch: block_until_ready on a fresh upload
+                    # does NOT reliably force the transfer on deferred-
+                    # upload transports (multi-GB/s phantom readings were
+                    # observed); iteration 1 also absorbs the reducer's
+                    # compile and transport warm-up, and is discarded
+                    jax.device_get(dev.sum())
                     dt = _time.perf_counter() - t0
                 _LINK_IS_SLOW = (
                     probe.nbytes / max(dt, 1e-9) / 1e6 < _AUTO_PACK_MBPS
