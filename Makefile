@@ -19,6 +19,8 @@ fuzz:
 	$(PY) fuzz/run_fuzz.py --mutate --iters 300
 	$(PY) fuzz/run_fuzz.py --upload --iters 25
 	$(PY) fuzz/run_fuzz.py --device --iters 25
+	$(PY) fuzz/run_fuzz.py --device --strict --iters 15
+	$(PY) fuzz/run_fuzz.py --cli --iters 15
 
 bench:
 	$(PY) bench.py

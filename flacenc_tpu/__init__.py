@@ -32,10 +32,24 @@ def encode_with_fixed_block_size(config, src, block_size, use_tpu=True,
     from .models import reference_encoder
 
     strict = kwargs.get("strict_lpc")
+    explicit_strict = strict is True
     if strict is None:
         import os
 
         strict = os.environ.get("FLACENC_STRICT_LPC", "") == "1"
+    cfg = config.inner if isinstance(config, Verified) else config
+    if cfg.subframe_coding.qlpc.use_direct_mse:
+        # same rule as the batched path (models/batch_encoder.py): strict
+        # mode covers the autocorrelation method only — refuse an EXPLICIT
+        # request instead of silently downgrading; env-derived strictness
+        # falls back to the documented default semantics
+        if explicit_strict:
+            raise ValueError(
+                "strict_lpc covers the autocorrelation method; the "
+                "experimental direct-MSE/IRLS estimators have no strict "
+                "float path"
+            )
+        strict = False
     return reference_encoder.encode_with_fixed_block_size(
         config, src, block_size, strict_lpc=strict
     )

@@ -22,8 +22,8 @@ from . import config as config_mod
 from . import display
 from .component import decode_stream, parse_stream
 from .errors import FlacencError
-from .source import MemSource, samples_to_le_bytes
-from .wav import read_wav, write_wav
+from .source import samples_to_le_bytes
+from .wav import write_wav
 
 # sysexits-style codes (main.rs:157-170)
 EX_USAGE = 64
@@ -136,8 +136,12 @@ def main_enc(args) -> int:
         cfg.block_size = args.block_size
     verified = cfg.into_verified()
 
-    samples, channels, bits, rate = read_wav(args.source)
-    src = MemSource(samples, channels, bits, rate)
+    # stream blocks straight from disk (flacenc-bin/src/source.rs:54-133):
+    # peak RSS stays ~ pipeline depth x batch bytes however large the input
+    from .wav import WavFileSource
+
+    src = WavFileSource(args.source)
+    channels, bits, rate = src.channels(), src.bits_per_sample(), src.sample_rate()
     t0 = time.perf_counter()
 
     if args.batch_size and args.cpu_only:
@@ -171,8 +175,8 @@ def main_enc(args) -> int:
     if args.dump_config:
         with open(args.dump_config, "w") as f:
             f.write(cfg.to_toml())
-    n = len(samples) // channels
-    in_bytes = len(samples) * (bits // 8)
+    n = stream.stream_info().total_samples
+    in_bytes = n * channels * (-(-bits // 8))
     display.progress_encoded(
         args.source, args.output, in_bytes, len(data), n / rate, elapsed
     )

@@ -324,8 +324,15 @@ def parse_stream(data: bytes, verify_crc: bool = True) -> Stream:
             first = False
         else:
             # later blocks (any type, incl. a duplicate type-0) are kept
-            # verbatim as opaque metadata, like the reference's
-            # MetadataBlockData handling of non-leading blocks
+            # verbatim as opaque metadata blobs sliced by the declared
+            # 24-bit length. Deliberate, spec-conformant deviation from the
+            # reference, which re-parses ANY type-0 body structurally and
+            # consumes 34 bytes regardless of the declared length
+            # (parser.rs:97-127): on well-formed streams the two agree
+            # byte-for-byte (duplicate STREAMINFO blocks declare length 34
+            # and round-trip bit-exactly as Unknown here); on malformed
+            # streams (type-0 with length != 34) we honor the declared
+            # length, keeping re-serialization byte-identical to the input
             stream.metadata_.append(MetadataBlock(is_last, typetag, body))
     if stream is None:
         raise ParseError("missing STREAMINFO block")

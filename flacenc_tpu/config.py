@@ -2,9 +2,11 @@
 
 Field names, defaults, and validation mirror the reference's
 ``/root/reference/src/config.rs`` so existing flacenc TOML configs load
-unchanged. ``multithread``/``workers`` are kept for API parity; in this
-framework they control the host->device pipelining depth rather than a
-thread pool.
+unchanged. ``multithread``/``workers`` control the host-side C++ frame
+PACKER thread pool (`parallel.determine_worker_count`, the par.rs:328-339
+precedence: config -> env FLACENC_WORKERS -> auto); device parallelism is
+the batch axis and is governed by `batch_size`/`mesh`, while the
+host<->device pipelining depth is FLACENC_PIPELINE_DEPTH.
 """
 
 from __future__ import annotations

@@ -161,7 +161,14 @@ def split_decisions(arr: np.ndarray, nchannels: int) -> DeviceDecisions:
     C = nchannels
     q = constants.qlpc.MAX_ORDER
     P = (F - 1 - C * (_WIRE_FIXED_COLS + q)) // C
-    assert F == 1 + C * (_WIRE_FIXED_COLS + q + P), (F, C, P)
+    if P < 1 or F != 1 + C * (_WIRE_FIXED_COLS + q + P):
+        # enforced with a real exception (not an assert, which `python -O`
+        # compiles out): a nchannels/P drift between coalesce and split
+        # would otherwise silently mis-split into garbage decisions
+        raise ValueError(
+            f"coalesced decisions width {F} is not 1 + {C} * "
+            f"({_WIRE_FIXED_COLS} + {q} + P) for any partition count P >= 1"
+        )
     o = 1
     fields = []
     for width in (C, C, C, C, C):
@@ -669,6 +676,8 @@ def pack_frames_decisions(
         SampleRateSpec.from_freq(sample_rate) if sample_rate else None
     ) or SampleRateSpec.UNSPECIFIED
     ss = SampleSizeSpec.from_bits(bps)
+    from ..parallel import determine_worker_count
+
     data, sizes = native.pack_frames_recompute(
         blocks, assign,
         np.asarray(enc.sf_type), np.asarray(enc.order),
@@ -679,6 +688,7 @@ def pack_frames_decisions(
         (bs.tag, bs.count_extra_bits(), bs.extra or 0),
         (sr.tag, sr.count_extra_bits(), sr.extra or 0),
         ss.tag,
+        n_threads=determine_worker_count(cfg),
     )
     return _assemble_frames(
         assign, nchannels, frame_numbers, sample_rate, bps, block_size,

@@ -128,18 +128,19 @@ def pack_frames_recompute(
     bs_spec: Tuple[int, int, int],
     sr_spec: Tuple[int, int, int],
     ss_tag: int,
+    n_threads: int = 0,
 ) -> Tuple[bytes, np.ndarray]:
     """Packs frames from device DECISIONS only.
 
     Stored channels (M/S) and chosen-predictor residuals are recomputed in
     C++ from the raw input blocks — residuals never cross the device link.
 
-    Frames are independent, so the batch is packed by FLACENC_PACK_THREADS
-    worker threads (default: all cores; 1 = sequential) into worst-case
-    regions compacted in order afterward — bytes are identical either way.
+    Frames are independent, so the batch is packed by `n_threads` worker
+    threads (callers resolve it via `parallel.determine_worker_count`:
+    config.workers -> env FLACENC_WORKERS -> FLACENC_PACK_THREADS -> all
+    cores; 1 = sequential) into worst-case regions compacted in order
+    afterward — bytes are identical either way.
     """
-    import os
-
     lib = _load()
     assert lib is not None, f"native packer unavailable: {_load_error}"
     if getattr(lib.flacenc_pack_frames_recompute, "argtypes", None) is None:
@@ -151,12 +152,10 @@ def pack_frames_recompute(
             + [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
                ctypes.POINTER(ctypes.c_int64), ctypes.c_int32]
         )
-    try:
-        n_threads = int(os.environ.get("FLACENC_PACK_THREADS", ""))
-    except ValueError:
-        n_threads = 0
     if n_threads < 1:
-        n_threads = os.cpu_count() or 1
+        from ..parallel import determine_worker_count
+
+        n_threads = determine_worker_count()
     n_threads = min(n_threads, 64)  # worker spawn is per call; cap fan-out
     F, C, T = blocks.shape
     P = rice_params.shape[-1]

@@ -179,3 +179,46 @@ def test_wav_non_multiple_of_8_bits(tmp_path):
     assert len(raw) % 2 == 0  # word-aligned file
     y, ch, b2, rate = read_wav(str(p))
     assert np.array_equal(y, np.arange(-1, 2, dtype=np.int32))
+
+
+def test_cli_encode_streams_bounded_memory(tmp_path):
+    """`encode` streams blocks from disk (flacenc-bin/src/source.rs:54-133
+    behavior): peak Python-heap growth while encoding a ~24 MB WAV stays
+    far below the input size (pipeline window + output frames only), i.e.
+    the CLI no longer slurps the file into a MemSource."""
+    import tracemalloc
+
+    rate, n = 44100, 6_000_000
+    t = np.arange(n, dtype=np.float64)
+    x = np.empty(2 * n, np.int32)
+    x[0::2] = np.round(12000 * np.sin(2 * np.pi * 220.0 / rate * t)).astype(np.int32)
+    x[1::2] = np.round(11000 * np.sin(2 * np.pi * 330.0 / rate * t)).astype(np.int32)
+    write_wav(str(tmp_path / "big.wav"), x, 2, 16, rate)
+    del x, t
+
+    # warmup encode spanning several FULL blocks: the device program must
+    # compile outside the measured region (a shorter-than-block file would
+    # exercise only the scalar tail path and leave ~200 MB of jit tracing
+    # inside the traced window)
+    _make_wav(tmp_path / "warm.wav", 2, 16, rate, 13000)
+    assert main([
+        "encode", str(tmp_path / "warm.wav"),
+        "-o", str(tmp_path / "warm.flac"),
+    ]) == 0
+
+    tracemalloc.start()
+    try:
+        tracemalloc.reset_peak()
+        rc = main([
+            "encode", str(tmp_path / "big.wav"),
+            "-o", str(tmp_path / "big.flac"),
+        ])
+        _, peak = tracemalloc.get_traced_memory()
+    finally:
+        tracemalloc.stop()
+    assert rc == 0
+    in_bytes = os.path.getsize(tmp_path / "big.wav")
+    # depth x batch window + assembled frames stays under ONE input size
+    # (measured ~19 MB); a MemSource slurp holds input + int32 deinterleave
+    # + window + output, i.e. >= 2x the input on the Python heap
+    assert peak < in_bytes, (peak, in_bytes)

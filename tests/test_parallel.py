@@ -169,3 +169,55 @@ def test_stream_encoder_mesh_sharded_byte_identical():
     ).to_bytes()
     assert d_mesh == d_one
     assert np.array_equal(decode_stream(parse_stream(d_mesh)), x)
+
+
+def test_determine_worker_count_precedence(monkeypatch):
+    """config.workers -> env FLACENC_WORKERS -> FLACENC_PACK_THREADS ->
+    auto, with multithread=False forcing 1 (par.rs:328-339 precedence)."""
+    import os
+
+    from flacenc_tpu.parallel import determine_worker_count
+
+    monkeypatch.delenv("FLACENC_WORKERS", raising=False)
+    monkeypatch.delenv("FLACENC_PACK_THREADS", raising=False)
+    auto = determine_worker_count()
+    assert auto >= 1 and auto == (os.cpu_count() or 1)
+
+    cfg = config.Encoder()
+    assert determine_worker_count(cfg) == auto  # workers=None -> auto
+
+    cfg.multithread = False
+    assert determine_worker_count(cfg) == 1  # serial path wins everything
+    cfg.workers = 7
+    assert determine_worker_count(cfg) == 1  # multithread=False still wins
+
+    cfg.multithread = True
+    assert determine_worker_count(cfg) == 7  # config beats env
+
+    monkeypatch.setenv("FLACENC_WORKERS", "3")
+    assert determine_worker_count(cfg) == 7
+    cfg.workers = None
+    assert determine_worker_count(cfg) == 3  # env fallback
+    assert determine_worker_count() == 3
+
+    monkeypatch.setenv("FLACENC_PACK_THREADS", "5")
+    assert determine_worker_count() == 3  # FLACENC_WORKERS beats it
+    monkeypatch.delenv("FLACENC_WORKERS")
+    assert determine_worker_count() == 5  # legacy override below config
+    monkeypatch.setenv("FLACENC_PACK_THREADS", "junk")
+    assert determine_worker_count() == auto
+
+
+def test_sequential_packing_byte_identical():
+    """Encoder(workers=1, multithread=False) forces sequential host
+    packing and produces byte-identical output (par.rs:328-339)."""
+    from flacenc_tpu.models import batch_encoder as be
+
+    x, src1 = _mem_source(11, 6000)
+    _, src2 = _mem_source(11, 6000)
+    cfg_mt = config.Encoder().into_verified()
+    cfg_st = config.Encoder(multithread=False, workers=1).into_verified()
+    d_mt = be.encode_with_fixed_block_size(cfg_mt, src1, 1024).to_bytes()
+    d_st = be.encode_with_fixed_block_size(cfg_st, src2, 1024).to_bytes()
+    assert d_mt == d_st
+    assert np.array_equal(decode_stream(parse_stream(d_st)), x)

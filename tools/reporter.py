@@ -92,6 +92,7 @@ def main() -> int:
     for name, (cfg, use_tpu) in encoder_configs().items():
         verified = cfg.into_verified()
         total_in = total_out = 0
+        total_ref_out = 0  # strict-proxy: reference-stable byte semantics
         total_audio_s = total_wall = 0.0
         # warm up compile + first-execution outside the timed region
         warm = next(iter(corpus.values()))[: 44100 * 4]
@@ -117,10 +118,25 @@ def main() -> int:
             total_out += len(data)
             total_audio_s += len(interleaved) / 2 / rate
             total_wall += wall
+            if not cfg.subframe_coding.qlpc.use_direct_mse:
+                # same-corpus reference proxy: strict mode reproduces the
+                # reference STABLE build's float semantics byte-for-byte
+                # for this config (bench.py methodology)
+                ref_stream = flacenc_tpu.encode_with_fixed_block_size(
+                    verified, MemSource(interleaved, 2, 16, rate),
+                    cfg.block_size, use_tpu=use_tpu, batch_size=256,
+                    strict_lpc=True,
+                )
+                total_ref_out += len(ref_stream.to_bytes())
+        ref_rate = total_ref_out / total_in if total_ref_out else None
         rows.append(
-            (name, total_out / total_in, total_audio_s / total_wall)
+            (name, total_out / total_in, total_audio_s / total_wall, ref_rate)
         )
-        print(f"{name}: rate={rows[-1][1]:.5f} irtf={rows[-1][2]:.1f}x", flush=True)
+        print(
+            f"{name}: rate={rows[-1][1]:.5f} irtf={rows[-1][2]:.1f}x"
+            + (f" ref_proxy={ref_rate:.5f}" if ref_rate else ""),
+            flush=True,
+        )
 
     os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
     with open(args.output, "w") as f:
@@ -128,13 +144,23 @@ def main() -> int:
         f.write(f"Corpus: {len(corpus)} synthetic stereo programs, ")
         f.write(f"{args.seconds:.0f}s each, 16-bit/44.1kHz. All outputs verified\n")
         f.write("sample-exact through the CRC-checking parser.\n\n")
+        f.write(
+            "**Caveat — synthetic corpus.** These rates are NOT comparable\n"
+            "to BASELINE.md's 0.5277, which was measured on real music\n"
+            "(wikimedia WAVs, no real-music WAV exists in this image). The\n"
+            "like-for-like parity check is the `ref (strict proxy)` column:\n"
+            "the SAME corpus encoded with strict reference-stable float\n"
+            "semantics, i.e. the bytes the reference's stable build would\n"
+            "emit for this config (see DESIGN.md; bench.py methodology).\n\n"
+        )
         f.write("## Average compression rate (output/input, lower is better)\n\n")
-        f.write("| config | rate |\n|---|---|\n")
-        for name, rate_, _ in rows:
-            f.write(f"| {name} | {rate_:.5f} |\n")
+        f.write("| config | rate | ref (strict proxy) |\n|---|---|---|\n")
+        for name, rate_, _, ref_rate in rows:
+            ref_s = f"{ref_rate:.5f}" if ref_rate else "n/a (experimental)"
+            f.write(f"| {name} | {rate_:.5f} | {ref_s} |\n")
         f.write("\n## Encode speed (inverse RTF, higher is better)\n\n")
         f.write("| config | x realtime |\n|---|---|\n")
-        for name, _, irtf in rows:
+        for name, _, irtf, _ in rows:
             f.write(f"| {name} | {irtf:.1f} |\n")
     print(f"wrote {args.output}")
     return 0
