@@ -79,6 +79,6 @@ class rice:
 class build_info:
     """Build metadata (analogue of constant.rs:70-84)."""
 
-    CRATE_VERSION = "0.2.2"
+    CRATE_VERSION = "0.3.0"
     BUILD_PROFILE = "release"
     FEATURES = "tpu,jax,native-packer"

@@ -301,35 +301,93 @@ def strict_qlpc(
     return qcoefs, order, shift
 
 
-def pack_upload12(chunk: np.ndarray):
-    """Single-pass C++ 12-bit delta pack (ops/upack.py wire format).
-
-    chunk (..., T) int, T % 8 == 0 -> ((..., T/8*3) uint32 words,
-    (...,) int32 first samples), or None if any first-order delta
-    overflows 12-bit two's complement (caller uploads raw instead).
-    Returns NotImplemented when the native library is unavailable.
-    """
+def scan_upload(chunk: np.ndarray):
+    """C++ single-pass (order, width) selection for the packed-upload
+    wire format (ops/upack.py): measures the batch's d1/d2 ranges and
+    returns the narrowest fitting format, None if nothing under 16 bits
+    fits (caller uploads raw), or NotImplemented when the native library
+    is unavailable."""
     lib = _load()
     if lib is None:
         return NotImplemented
-    fn = lib.flacenc_pack_upload12
+    fn = lib.flacenc_scan_upload
     if getattr(fn, "argtypes", None) is None:
         fn.restype = ctypes.c_int32
         fn.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+    x = np.ascontiguousarray(chunk, dtype=np.int32)
+    T = x.shape[-1]
+    rows = x.size // T if T else 0
+    meta = np.zeros(2, np.int32)
+    ok = fn(_ptr(x, ctypes.c_int32), rows, T, _ptr(meta, ctypes.c_int32))
+    return (int(meta[0]), int(meta[1])) if ok else None
+
+
+def pack_upload(chunk: np.ndarray, order: int, width: int):
+    """C++ single-pass delta pack at a FIXED (order, width) chosen by
+    `scan_upload` (or forced by tests): (..., T) int, T % 16 == 0 ->
+    ((..., T*width/32) uint32 words, (..., 2) int32 firsts)."""
+    lib = _load()
+    assert lib is not None, f"native packer unavailable: {_load_error}"
+    fn = lib.flacenc_pack_upload
+    if getattr(fn, "argtypes", None) is None:
+        fn.restype = None
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
         ]
     x = np.ascontiguousarray(chunk, dtype=np.int32)
     T = x.shape[-1]
-    assert T % 8 == 0, T
+    assert T % 16 == 0 and T * width % 32 == 0, (T, width)
     rows = x.size // T if T else 0
-    words = np.empty(x.shape[:-1] + ((T // 8) * 3,), np.uint32)
-    first = np.empty(x.shape[:-1], np.int32)
-    ok = fn(
-        _ptr(x, ctypes.c_int32), rows, T,
-        _ptr(words, ctypes.c_uint32), _ptr(first, ctypes.c_int32),
+    words = np.empty(x.shape[:-1] + (T * width // 32,), np.uint32)
+    firsts = np.empty(x.shape[:-1] + (2,), np.int32)
+    fn(
+        _ptr(x, ctypes.c_int32), rows, T, order, width,
+        _ptr(words, ctypes.c_uint32), _ptr(firsts, ctypes.c_int32),
     )
-    return (words, first) if ok else None
+    return words, firsts
+
+
+def compute_errors(
+    signals: np.ndarray, is_lpc: np.ndarray, order: np.ndarray,
+    qcoefs: np.ndarray, shift: np.ndarray,
+):
+    """Batched exact residual recompute (fixed cascade / QLPC FIR) for
+    overflow channels: signals (N, T) int32 -> (N, T) int32 errors.
+    Returns None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    fn = lib.flacenc_compute_errors
+    if getattr(fn, "argtypes", None) is None:
+        fn.restype = None
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+
+    def c32(a):
+        return np.ascontiguousarray(a, dtype=np.int32)
+
+    signals = c32(signals)
+    N, T = signals.shape
+    is_lpc = c32(is_lpc); order = c32(order); shift = c32(shift)
+    qcoefs = c32(qcoefs)
+    assert qcoefs.shape == (N, 24), qcoefs.shape
+    err = np.empty((N, T), np.int32)
+    fn(
+        _ptr(signals, ctypes.c_int32), N, T,
+        _ptr(is_lpc, ctypes.c_int32), _ptr(order, ctypes.c_int32),
+        _ptr(qcoefs, ctypes.c_int32), _ptr(shift, ctypes.c_int32),
+        _ptr(err, ctypes.c_int32),
+    )
+    return err
 
 
 def parse_residual(data: bytes, bit_offset: int, block_size: int, warmup: int):

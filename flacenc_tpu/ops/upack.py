@@ -1,129 +1,171 @@
 """Packed host->device wire format for PCM uploads.
 
-On link-starved hosts (e.g. tunneled devices at ~50 MB/s) the raw int16
-PCM upload is the end-to-end ceiling. First-order deltas of typical music
-fit 12 bits, so the host packs `d[t] = x[t] - x[t-1]` as little-endian
-12-bit two's-complement fields (first sample shipped separately as i32)
-and the device reconstructs exactly with static shifts + one int32 cumsum
-— no gathers, no data-dependent shapes. 25% less upload than int16.
+On link-starved hosts (e.g. tunneled devices at ~15-100 MB/s) the raw
+int16 PCM upload is the end-to-end ceiling. The host packs fixed-order
+delta residuals `d[t] = diff^order(x)[t]` (order 1 or 2) as little-endian
+WIDTH-bit two's-complement fields (the first `order` samples ship
+separately as int32), and the device reconstructs exactly with static
+shifts + int32 cumsums — no gathers, no data-dependent shapes.
 
-The transform is integer-exact: `unpack(pack(x)) == x` for every input
-that fits (deltas in [-2048, 2047]); batches that don't fit fall back to
-the raw path (models/batch_encoder.BatchPipeline decides per batch, so
-output bytes never depend on the wire format).
+Per BATCH the narrowest fitting format is chosen from
+order in {1, 2} x width in {8, 10, 12}: a C++ single-pass scan
+(`native.scan_upload`) measures the d1/d2 ranges, then a single-pass pack
+(`native.pack_upload`) emits the fields. Quiet/smooth material packs at
+8-10 bits (0.5-0.625x the raw int16 bytes); the round-2 bench corpus
+needs 12 (0.75x); full-scale noise overflows every width and falls back
+to raw — output bytes NEVER depend on the wire format (the device
+reconstruction is integer-exact, wrapping int32 like numpy's diff).
 
-The hot path is `native.pack_upload12` — a single-pass C++ sweep
-(delta + range check + bit pack, no temporaries) measured 25x faster
-than the numpy pack below (14 ms vs 358 ms per 512x2x4096 batch, one
-core), i.e. ~3,300x realtime: the pack cost that used to cancel the
-wire saving on single-core hosts is gone. Control: FLACENC_PACKED_UPLOAD
-=1 forces on, =0 off; unset = adaptive — BatchPipeline probes the first
-upload's bandwidth and enables packing only on slow links (< ~300 MB/s),
-so PCIe-attached chips keep the raw path. The numpy implementation here
-is the portable fallback and the parity oracle for the C++ pass.
+Width 16 is deliberately absent: for bps <= 16 inputs a 16-bit delta
+field costs exactly the raw int16 upload, so raw is the 16-bit case.
+Each (order, width) pair is one jit program variant; a stream that flips
+formats compiles at most 7 variants (6 packed + raw), amortized by the
+jit cache. The numpy implementations here are the portable fallback and
+the parity oracle for the C++ passes.
+
+Measured on the HTTP-tunneled v5e link (round 3): the transport itself
+compresses payloads (~3.5x faster for zeros than for random bytes), so
+the EFFECTIVE wire cost of any format is close to its entropy; fixed
+12-bit fields land at ~1.40 B/sample effective vs 1.77 for raw int16 on
+the bench corpus. The packing still pays on every link class because it
+also cuts the pre-compression byte count (transport CPU) by 25-50%.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 from . import jax_env  # noqa: F401
 
 import jax.numpy as jnp
 import numpy as np
 
-WIDTH = 12  # bits per delta field
-_GROUP = 8  # lcm(12, 32) = 96 bits = 8 samples per 3 words
-_WORDS_PER_GROUP = 3
-_MASK = (1 << WIDTH) - 1
-_SIGN = 1 << (WIDTH - 1)
+WIDTHS = (8, 9, 10, 11, 12)  # allowed field widths, narrowest first
+ORDERS = (1, 2)              # allowed delta orders
+# sample-count divisibility for block sizes: even widths' bit-groups
+# divide 16 samples, so T % 16 == 0 is the eligibility gate; the odd
+# widths (9, 11) additionally require T % 32 == 0 and are skipped by
+# scan() otherwise
+GROUP = 16
 
 
-GROUP = _GROUP  # sample-count divisibility requirement for block sizes
+def words_per_block(T: int, width: int) -> int:
+    if T % GROUP != 0:
+        raise ValueError(f"block size must be a multiple of {GROUP} (got {T})")
+    return T * width // 32
 
 
-def fits(chunk: np.ndarray) -> bool:
-    """True if every first-order delta fits WIDTH-bit two's complement."""
-    d = np.diff(chunk.astype(np.int32), axis=-1)
-    if d.size == 0:
-        return True
-    return bool((d >= -_SIGN).all() and (d <= _SIGN - 1).all())
+def _deltas(x: np.ndarray, order: int) -> np.ndarray:
+    """diff^order with the first `order` entries zeroed (wrapping int32)."""
+    d = x.astype(np.int32)
+    for _ in range(order):
+        nxt = np.zeros_like(d)
+        # numpy int32 subtraction wraps (C semantics) = the C++ pack and
+        # the device's wrapping-int32 cumsum reconstruction exactly
+        nxt[..., 1:] = d[..., 1:] - d[..., :-1]
+        d = nxt
+    d[..., :order] = 0
+    return d
 
 
-def words_per_block(T: int) -> int:
-    assert T % _GROUP == 0, f"block size must be a multiple of {_GROUP}"
-    return (T // _GROUP) * _WORDS_PER_GROUP
+def scan(chunk: np.ndarray) -> Optional[Tuple[int, int]]:
+    """Narrowest fitting (order, width) for the batch, or None (use raw).
+
+    numpy fallback / oracle for `native.scan_upload`; ties prefer lower
+    order (one cumsum on device instead of two)."""
+    x = chunk.astype(np.int32)
+    if x.shape[-1] < 2:
+        return None
+    T = x.shape[-1]
+    best = None
+    for order in ORDERS:
+        d = _deltas(x, order)
+        lo, hi = (int(d.min()), int(d.max())) if d.size else (0, 0)
+        for w in WIDTHS:
+            if (T * w) % 32 != 0:
+                continue
+            if lo >= -(1 << (w - 1)) and hi <= (1 << (w - 1)) - 1:
+                if best is None or w < best[1]:
+                    best = (order, w)
+                break
+    return best
+
+
+def pack(chunk: np.ndarray, order: int, width: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(..., T) int -> ((..., T*width/32) uint32 words, (..., 2) int32
+    firsts). Field t occupies bits [t*width, (t+1)*width) of the row's
+    little-endian bitstream. numpy fallback / oracle for
+    `native.pack_upload`."""
+    x = chunk.astype(np.int32)
+    T = x.shape[-1]
+    W = words_per_block(T, width)
+    d = _deltas(x, order)
+    u = d.astype(np.uint32) & np.uint32((1 << width) - 1)
+    # expand each field to its bit positions via a (T*width, ) bit matrix:
+    # vectorized as per-group word assembly (group = lcm(width,32)/width)
+    G = np.lcm(width, 32) // width
+    Wg = G * width // 32
+    ug = u.reshape(u.shape[:-1] + (-1, G)).astype(np.uint64)
+    words = np.zeros(ug.shape[:-1] + (Wg,), np.uint64)
+    for j in range(G):
+        bit = j * width
+        k, off = bit // 32, bit % 32
+        words[..., k] |= (ug[..., j] << off) & np.uint64(0xFFFFFFFF)
+        if off + width > 32:
+            words[..., k + 1] |= ug[..., j] >> (32 - off)
+    words = words.astype(np.uint32).reshape(x.shape[:-1] + (W,))
+    firsts = np.zeros(x.shape[:-1] + (2,), np.int32)
+    firsts[..., 0] = x[..., 0]
+    firsts[..., 1] = x[..., 1] if T > 1 else x[..., 0]
+    return np.ascontiguousarray(words), firsts
 
 
 def try_pack(chunk: np.ndarray):
-    """One-pass pack-if-fits: ((..., W) uint32, (...,) int32) or None.
+    """Adaptive one-call pack: ((words, firsts), order, width) or None.
 
-    Fast path: the native C++ single-pass packer (delta + range check +
-    bit pack in one sweep, no temporaries). Falls back to numpy (which
-    computes the delta stream once — the separate fits()+pack() sequence
-    would diff the whole chunk twice)."""
+    Fast path: C++ single-pass scan + single-pass pack (both release the
+    GIL); numpy fallback otherwise."""
     from .. import native
 
-    out = native.pack_upload12(chunk)
-    if out is not NotImplemented:
-        return out
-    x = chunk.astype(np.int32)
-    d = np.zeros_like(x)
-    d[..., 1:] = x[..., 1:] - x[..., :-1]
-    if d.size and not ((d >= -_SIGN).all() and (d <= _SIGN - 1).all()):
+    out = native.scan_upload(chunk)
+    if out is NotImplemented:
+        fmt = scan(chunk)
+        if fmt is None:
+            return None
+        return pack(chunk, *fmt) + fmt
+    if out is None:
         return None
-    return _pack_deltas(d, np.ascontiguousarray(x[..., 0]))
+    order, width = out
+    words, firsts = native.pack_upload(chunk, order, width)
+    return words, firsts, order, width
 
 
-def pack(chunk: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """(..., T) int -> ((..., W) uint32 words, (...,) int32 first samples).
+def unpack(words: jnp.ndarray, firsts: jnp.ndarray, T: int,
+           order: int = 1, width: int = 12) -> jnp.ndarray:
+    """Device-side inverse of `pack`: (..., W) uint32 -> (..., T) int32.
 
-    Field j of each 8-sample group occupies bits [12j, 12j+12) of the
-    96-bit group, little-endian across the 3 uint32 words.
-    """
-    x = chunk.astype(np.int32)
-    d = np.zeros_like(x)
-    d[..., 1:] = x[..., 1:] - x[..., :-1]
-    return _pack_deltas(d, np.ascontiguousarray(x[..., 0]))
-
-
-def _pack_deltas(d: np.ndarray, first: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    u = (d.astype(np.uint32) & _MASK).reshape(d.shape[:-1] + (-1, _GROUP))
-    u64 = u.astype(np.uint64)
-    # 96-bit group as lo64 | hi32: fields 0..4 fully in lo64 (bits 0..60),
-    # field 5 straddles (bits 60..72), 6..7 in hi (bits 72..96)
-    lo = (
-        u64[..., 0]
-        | (u64[..., 1] << 12) | (u64[..., 2] << 24) | (u64[..., 3] << 36)
-        | (u64[..., 4] << 48) | (u64[..., 5] << 60)  # low 4 bits of field 5
-    )
-    hi = (
-        (u64[..., 5] >> 4) | (u64[..., 6] << 8) | (u64[..., 7] << 20)
-    ).astype(np.uint32)
-    w0 = (lo & 0xFFFFFFFF).astype(np.uint32)
-    w1 = ((lo >> 32) & 0xFFFFFFFF).astype(np.uint32)
-    words = np.stack([w0, w1, hi], axis=-1).reshape(d.shape[:-1] + (-1,))
-    return np.ascontiguousarray(words), first
-
-
-def unpack(words: jnp.ndarray, first: jnp.ndarray, T: int) -> jnp.ndarray:
-    """Device-side inverse of `pack`: (..., W) uint32 -> (..., T) int32."""
-    g = words.reshape(words.shape[:-1] + (-1, _WORDS_PER_GROUP))
-    w0 = g[..., 0]
-    w1 = g[..., 1]
-    w2 = g[..., 2]
-    m = jnp.uint32(_MASK)
-    fields = [
-        w0 & m,
-        (w0 >> 12) & m,
-        (w0 >> 24) | ((w1 & jnp.uint32(0xF)) << 8),
-        (w1 >> 4) & m,
-        (w1 >> 16) & m,
-        (w1 >> 28) | ((w2 & jnp.uint32(0xFF)) << 4),
-        (w2 >> 8) & m,
-        (w2 >> 20) & m,
-    ]
+    Static shifts + int32 cumsum(s); the order-2 closed form
+    x[t] = x0 + t*(x1-x0) + cumsum(cumsum(d))[t] is exact in wrapping
+    int32 arithmetic (the true x fits int32, so mod-2^32 equality is
+    equality)."""
+    G = int(np.lcm(width, 32)) // width
+    Wg = G * width // 32
+    g = words.reshape(words.shape[:-1] + (-1, Wg))
+    m = jnp.uint32((1 << width) - 1)
+    fields = []
+    for j in range(G):
+        bit = j * width
+        k, off = bit // 32, bit % 32
+        v = g[..., k] >> jnp.uint32(off) if off else g[..., k]
+        if off + width > 32:
+            v = v | (g[..., k + 1] << jnp.uint32(32 - off))
+        fields.append(v & m)
     u = jnp.stack(fields, axis=-1).reshape(words.shape[:-1] + (T,))
-    d = ((u ^ jnp.uint32(_SIGN)).astype(jnp.int32) - jnp.int32(_SIGN))
-    x = first.astype(jnp.int32)[..., None] + jnp.cumsum(d, axis=-1)
-    return x
+    sign = 1 << (width - 1)
+    d = (u ^ jnp.uint32(sign)).astype(jnp.int32) - jnp.int32(sign)
+    x0 = firsts[..., 0].astype(jnp.int32)[..., None]
+    if order == 1:
+        return x0 + jnp.cumsum(d, axis=-1)
+    x1 = firsts[..., 1].astype(jnp.int32)[..., None]
+    t = jnp.arange(T, dtype=jnp.int32)
+    return x0 + t * (x1 - x0) + jnp.cumsum(jnp.cumsum(d, axis=-1), axis=-1)

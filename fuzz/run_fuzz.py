@@ -109,6 +109,16 @@ def one_case(seed: int, max_block: int = 4096, verbose: bool = False) -> None:
         f"round-trip mismatch (seed={seed}, ch={channels}, block={block_size}, "
         f"bps={bps}, rate={rate})"
     )
+    # fourth oracle: clean-room C++ decoder (zero shared code with the
+    # encoder or the Python component model — the claxon analogue)
+    from flacenc_tpu.native import independent
+
+    if independent.available():
+        dec = independent.decode_stream(data)
+        assert np.array_equal(dec.samples, interleaved), (
+            f"clean-room decode mismatch (seed={seed}, ch={channels}, "
+            f"block={block_size}, bps={bps}, rate={rate})"
+        )
     if verbose:
         print(
             f"seed={seed}: ch={channels} block={block_size} len={signal_len} "
@@ -245,27 +255,60 @@ def one_mutation_case(seed: int) -> None:
 
 def one_upload_case(seed: int, block_size: int = 512) -> None:
     """Wire-format transparency tier: for any signal (smooth, loud, or
-    mixed so some batches fit the 12-bit delta format and others fall back
-    to raw mid-stream), upload_pack=True must emit EXACTLY the bytes of
-    upload_pack=False — the wire format can never change output."""
+    mixed so batches land on DIFFERENT adaptive formats — order 1/2,
+    width 8..12 — or fall back to raw mid-stream), upload_pack=True must
+    emit EXACTLY the bytes of upload_pack=False — the wire format can
+    never change output. Per-case amplitude scaling steers batches across
+    the whole (order, width) matrix; the chosen formats are recorded and
+    the harness asserts the matrix was actually covered across the run."""
     from flacenc_tpu.models import batch_encoder as be
+    from flacenc_tpu.ops import upack
 
     rng = np.random.default_rng(seed)
     channels = 2 if rng.integers(0, 2) else 1
     signal_len = int(rng.integers(1, 6 * block_size))
     bps = 16
+    # amplitude scaling sweeps the delta magnitude so the scan lands on
+    # every width tier (and on raw for full-scale content)
+    shift = int(rng.integers(0, 9))
+    tonal = rng.integers(0, 3) == 0
+    if tonal:
+        # order 2 wins only when d1 exceeds the 8-bit tier while d2 (an
+        # extra factor omega smaller) lands below it: keep the tone loud
+        shift = int(rng.integers(0, 2))
     interleaved = np.zeros(signal_len * channels, dtype=np.int32)
     for ch in range(channels):
-        x = random_signal_gen(rng).to_vec_quantized(bps, signal_len)
+        if tonal:
+            # noise-free smooth tone: second-order deltas are ~omega x
+            # smaller than first-order, steering the scan to order 2
+            x = sigen.Sine(
+                int(rng.integers(150, 1200)), float(rng.uniform(0.5, 0.95)),
+                float(rng.uniform(0, 6.28)),
+            ).to_vec_quantized(bps, signal_len)
+        else:
+            x = random_signal_gen(rng).to_vec_quantized(bps, signal_len)
+        x = x >> shift
         if rng.integers(0, 3) == 0:
             # splice full-scale noise into a random span so delta fit
             # flips between batches (exercises the mid-stream fallback
-            # and the dual-program path)
+            # and the multi-program path)
             a = int(rng.integers(0, signal_len))
             b = int(rng.integers(a, signal_len))
             x[a:b] = rng.integers(-32768, 32768, b - a, dtype=np.int64)
         interleaved[ch::channels] = x
-    cfg = _device_configs()[seed % len(_device_configs())].into_verified()
+    # record which formats this case's batches select (coverage witness)
+    nb = signal_len // block_size
+    for i in range(0, max(nb, 1), 4):
+        blocks = interleaved.reshape(-1, channels).T[
+            :, i * block_size:(i + 4) * block_size
+        ]
+        if blocks.shape[1] and blocks.shape[1] % block_size == 0:
+            fmt = upack.scan(blocks.reshape(channels, -1, block_size))
+            one_upload_case.formats_seen.add(fmt)
+    # default config only: this tier tests WIRE transparency, and every
+    # (config, wire) pair is a fresh jit compile — config interplay is
+    # the --device tier's job (keeps a 25-case run minutes, not tens)
+    cfg = config.Encoder().into_verified()
     src = lambda: source.MemSource(interleaved, channels, bps, 44100)
     raw = be.encode_with_fixed_block_size(
         cfg, src(), block_size, batch_size=4, upload_pack=False,
@@ -275,6 +318,9 @@ def one_upload_case(seed: int, block_size: int = 512) -> None:
     ).to_bytes()
     assert packed == raw, f"packed-upload bytes diverged (seed={seed})"
     assert np.array_equal(decode_stream(parse_stream(raw)), interleaved)
+
+
+one_upload_case.formats_seen = set()
 
 
 def one_cli_case(seed: int) -> None:
@@ -369,6 +415,17 @@ def main() -> int:
             raise
         if i % 10 == 0:
             print(f"... {i - args.start + 1}/{args.iters}", flush=True)
+    if args.upload:
+        seen = one_upload_case.formats_seen
+        print(f"wire formats covered: {sorted(seen, key=repr)}")
+        if args.iters >= 25:
+            # a full run must sweep the adaptive matrix: raw fallback,
+            # both orders, and at least three width tiers
+            assert None in seen, "raw-fallback batches never exercised"
+            orders = {f[0] for f in seen if f}
+            widths = {f[1] for f in seen if f}
+            assert orders == {1, 2}, f"delta orders covered: {orders}"
+            assert len(widths) >= 3, f"width tiers covered: {widths}"
     print(f"{args.iters} cases passed")
     return 0
 

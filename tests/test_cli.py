@@ -218,7 +218,8 @@ def test_cli_encode_streams_bounded_memory(tmp_path):
         tracemalloc.stop()
     assert rc == 0
     in_bytes = os.path.getsize(tmp_path / "big.wav")
-    # depth x batch window + assembled frames stays under ONE input size
-    # (measured ~19 MB); a MemSource slurp holds input + int32 deinterleave
-    # + window + output, i.e. >= 2x the input on the Python heap
-    assert peak < in_bytes, (peak, in_bytes)
+    # depth x batch window + assembled frames (measured ~19-25 MB,
+    # jitters with pipeline timing); a MemSource slurp holds input +
+    # int32 deinterleave + window + output, i.e. >= 2x the input on the
+    # Python heap — 1.25x input separates the two regimes cleanly
+    assert peak < in_bytes * 1.25, (peak, in_bytes)

@@ -50,7 +50,11 @@ CONFIGS["mae"] = _c
 
 
 def integrity_test(cfg: config.Encoder, interleaved, channels, bps, rate, block_size):
-    """Encode -> bytes -> independent parse -> decode -> exact compare."""
+    """Encode -> bytes -> independent parse -> decode -> exact compare.
+
+    Two independent decode oracles: the Python component parser
+    (CRC-verified) and the clean-room C++ decoder (native/decoder.cpp,
+    zero shared code — the claxon analogue, test_helper.rs:131-185)."""
     src = source.MemSource(interleaved, channels, bps, rate)
     stream = re.encode_with_fixed_block_size(cfg.into_verified(), src, block_size)
     data = stream.to_bytes()
@@ -61,6 +65,15 @@ def integrity_test(cfg: config.Encoder, interleaved, channels, bps, rate, block_
         source.samples_to_le_bytes(np.asarray(interleaved, np.int32), -(-bps // 8))
     ).digest()
     assert parsed.stream_info().md5 == md5
+    from flacenc_tpu.native import independent
+
+    if independent.available():
+        dec = independent.decode_stream(data)
+        assert np.array_equal(dec.samples, interleaved), (
+            "clean-room decoder round trip failed"
+        )
+        assert dec.md5 == md5
+        assert (dec.channels, dec.bits_per_sample) == (channels, bps)
     return len(data)
 
 

