@@ -239,6 +239,23 @@ def parse_residual(r: BitReader, block_size: int, warmup: int) -> Residual:
     return Residual(order, block_size, warmup, rice_params, quotients, remainders)
 
 
+def _read_samples(r: BitReader, count: int, bps: int) -> np.ndarray:
+    """Fixed-width signed sample run: C++ fast path (the verbatim hot
+    loop, parser.rs:705-712 raw_samples) with the per-sample Python
+    reader as the portable fallback / oracle."""
+    from .. import native
+
+    if count >= 8 and native.available():
+        try:
+            res = native.parse_samples(r.data, r.pos, count, bps)
+        except ValueError as e:
+            raise ParseError(str(e))
+        if res is not None:
+            r.pos, samples = res[0], res[1]
+            return samples
+    return np.asarray([r.read_signed(bps) for _ in range(count)], np.int32)
+
+
 def parse_subframe(r: BitReader, block_size: int, bps: int) -> SubFrame:
     if r.read(1) != 0:
         raise ParseError("subframe header must start with 0")
@@ -249,16 +266,15 @@ def parse_subframe(r: BitReader, block_size: int, bps: int) -> SubFrame:
     if type_tag == 0:
         return Constant(block_size, r.read_signed(bps), bps)
     if type_tag == 1:
-        samples = np.asarray([r.read_signed(bps) for _ in range(block_size)], np.int32)
-        return Verbatim(samples, bps)
+        return Verbatim(_read_samples(r, block_size, bps), bps)
     if (type_tag & 0x38) == 0x08 and (type_tag & 0x07) <= 4:
         order = type_tag & 0x07
-        warm_up = np.asarray([r.read_signed(bps) for _ in range(order)], np.int32)
+        warm_up = _read_samples(r, order, bps)
         residual = parse_residual(r, block_size, order)
         return FixedLpc(warm_up, residual, bps)
     if type_tag & 0x20:
         order = (type_tag & 0x1F) + 1
-        warm_up = np.asarray([r.read_signed(bps) for _ in range(order)], np.int32)
+        warm_up = _read_samples(r, order, bps)
         precision = r.read(4) + 1
         shift = r.read_signed(5)
         coefs = np.asarray(

@@ -847,13 +847,19 @@ def _seed_probe(payload: np.ndarray) -> None:
     _SEED_PROBED = True
     import time as _time
 
-    warm = np.zeros_like(payload)
-    # consume + fetch: block_until_ready on a fresh upload does NOT
-    # reliably force the transfer on deferred-upload transports
-    jax.device_get(jnp.sum(jnp.asarray(warm).astype(jnp.int32)))
-    t0 = _time.perf_counter()
-    jax.device_get(jnp.sum(jnp.asarray(payload).astype(jnp.int32)))
-    _LINK_EST.update(payload.nbytes, _time.perf_counter() - t0)
+    try:
+        warm = np.zeros_like(payload)
+        # consume + fetch: block_until_ready on a fresh upload does NOT
+        # reliably force the transfer on deferred-upload transports
+        jax.device_get(jnp.sum(jnp.asarray(warm).astype(jnp.int32)))
+        t0 = _time.perf_counter()
+        jax.device_get(jnp.sum(jnp.asarray(payload).astype(jnp.int32)))
+        _LINK_EST.update(payload.nbytes, _time.perf_counter() - t0)
+    except Exception:
+        # a failed PROBE must never fail an encode (transient transport
+        # errors were observed on the tunneled backend); the rolling
+        # drain-gap estimate takes over after a few batches instead
+        pass
 
 
 def _bucket_pad(chunk: np.ndarray, batch_size: int) -> np.ndarray:
@@ -1028,6 +1034,9 @@ class BatchPipeline:
         self.depth = constants.par.FRAMEBUF_MULTIPLICITY
         self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
         self.max_inflight = 0
+        # per-wire batch counts, e.g. {None: 3, (2, 10): 21} — surfaced
+        # in the corpus stats line so link adaptation is observable
+        self.wire_counts: dict = {}
 
     def _put(self, a):
         if self._sharding is not None:
@@ -1096,6 +1105,7 @@ class BatchPipeline:
             up = chunk.astype(np.int16) if self.bps <= 16 else chunk
             payload = (up,)
         upload_bytes = sum(a.nbytes for a in payload)
+        self.wire_counts[wire] = self.wire_counts.get(wire, 0) + 1
         if self.strict_lpc:
             # strict host arrays are expensive: keep the whole chain on
             # the io thread so it overlaps the read loop

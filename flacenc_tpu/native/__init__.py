@@ -352,6 +352,32 @@ def pack_upload(chunk: np.ndarray, order: int, width: int):
     return words, firsts
 
 
+def parse_samples(data, bit_offset: int, count: int, bps: int):
+    """C++ fixed-width signed sample run (the parser's verbatim/warm-up
+    fast path): returns (new_bit_offset, (count,) int32 samples), None
+    when the native library is unavailable; raises ValueError on
+    truncation."""
+    lib = _load()
+    if lib is None:
+        return None
+    fn = lib.flacenc_parse_samples
+    if getattr(fn, "argtypes", None) is None:
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ]
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(count, np.int32)
+    new_pos = fn(
+        _ptr(buf, ctypes.c_uint8), len(data) * 8, bit_offset,
+        count, bps, _ptr(out, ctypes.c_int32),
+    )
+    if new_pos < 0:
+        raise ValueError("truncated sample run")
+    return int(new_pos), out
+
+
 def compute_errors(
     signals: np.ndarray, is_lpc: np.ndarray, order: np.ndarray,
     qcoefs: np.ndarray, shift: np.ndarray,

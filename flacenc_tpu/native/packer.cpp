@@ -810,6 +810,33 @@ int64_t flacenc_parse_residual(
     return pos;
 }
 
+// Fixed-width signed sample run for the parser's verbatim/warm-up fast
+// path (parser.rs:705-735 raw_samples): reads `count` MSB-first
+// `bps`-bit two's-complement fields starting at bit_offset. Returns the
+// new bit offset, or -1 on truncation.
+int64_t flacenc_parse_samples(
+    const uint8_t* data, int64_t data_bits, int64_t bit_offset,
+    int64_t count, int32_t bps, int32_t* out) {
+    if (bps < 1 || bps > 32) return -1;
+    int64_t pos = bit_offset;
+    if (pos + count * bps > data_bits) return -1;
+    const uint64_t sign = 1ull << (bps - 1);
+    for (int64_t i = 0; i < count; ++i) {
+        uint64_t acc = 0;
+        int64_t byte = pos >> 3;
+        int bit = (int)(pos & 7);
+        int got = 0;
+        for (int k = 0; k < 8 && got < bps + bit; ++k) {
+            acc = (acc << 8) | data[byte + k];
+            got += 8;
+        }
+        uint64_t v = (acc >> (got - bit - bps)) & ((bps == 64) ? ~0ull : ((1ull << bps) - 1));
+        out[i] = (int32_t)((int64_t)(v ^ sign) - (int64_t)sign);
+        pos += bps;
+    }
+    return pos;
+}
+
 }  // extern "C"
 
 extern "C" {

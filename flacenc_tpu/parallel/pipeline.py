@@ -50,6 +50,8 @@ class PipelineStats:
     md5_overdue: int = 0        # producer stalls on the bounded MD5 queue
     tail_frames: int = 0
     max_inflight_batches: int = 0  # boundedness witness (<= pipeline depth)
+    wire_batches: Optional[Dict] = None  # {wire format: batch count}
+    link_mbps: Optional[float] = None    # rolling link estimate at finish
 
 
 class _Md5Thread:
@@ -191,6 +193,8 @@ def encode_corpus(
             route(result)
     finally:
         pipe.close()
+        stats.wire_batches = dict(pipe.wire_counts)
+        stats.link_mbps = be._LINK_EST.mbps
         t0 = time.perf_counter()
         md5_thread.stop()
         stats.md5_wait_s += time.perf_counter() - t0
@@ -238,5 +242,7 @@ def encode_corpus(
         md5_overdue=stats.md5_overdue,
         tail_frames=stats.tail_frames,
         max_inflight_batches=stats.max_inflight_batches,
+        wire_batches={repr(k): v for k, v in (stats.wire_batches or {}).items()},
+        link_mbps=round(stats.link_mbps, 1) if stats.link_mbps else None,
     )
     return results, stats
