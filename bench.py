@@ -71,7 +71,9 @@ def main() -> None:
     # tail-padding waste of 512
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     packer = os.environ.get("BENCH_PACKER", "auto")
-    trials = int(os.environ.get("BENCH_TRIALS", "2"))
+    # best-of-3: a trial costs ~1-2 s while the tunneled link swings
+    # minute to minute; the extra trial is the cheapest variance cut
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
 
     cfg = config.Encoder().into_verified()
 

@@ -1321,4 +1321,16 @@ def encode_with_fixed_block_size(
     stream.stream_info_mut().set_total_samples(
         total if total is not None else context.total_samples()
     )
+    from ..log import info_stats
+
+    # stream-path run stats (the par-mode JSONL line, par.rs:414-421)
+    info_stats(
+        event="stream_encode",
+        frames=len(frames),
+        batches=sum(pipe.wire_counts.values()),
+        wire_batches={repr(k): v for k, v in pipe.wire_counts.items()},
+        link_mbps=round(_LINK_EST.mbps, 1) if _LINK_EST.mbps else None,
+        md5_overdue=context.worker.overdue,
+        max_inflight_batches=pipe.max_inflight,
+    )
     return stream
