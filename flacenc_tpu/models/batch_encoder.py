@@ -411,11 +411,18 @@ def build_encoder_fn(
         if packed_wire is not None:
             from ..ops import upack
 
-            words, firsts = blocks, ext[0]
-            ext = ext[1:]
-            blocks = upack.unpack(
-                words, firsts, block_size, packed_wire[0], packed_wire[1]
-            )
+            if packed_wire[0] == "r":
+                _, order, p, _wu = packed_wire
+                lo, unary, firsts = blocks, ext[0], ext[1]
+                ext = ext[2:]
+                blocks = upack.unpack_rice(
+                    lo, unary, firsts, block_size, order, p
+                )
+            else:
+                _, order, width = packed_wire
+                words, firsts = blocks, ext[0]
+                ext = ext[1:]
+                blocks = upack.unpack(words, firsts, block_size, order, width)
         B, C, T = blocks.shape
         blocks = blocks.astype(jnp.int32)  # accepts int16 uploads (bps<=16)
         if stereo:
@@ -1034,9 +1041,12 @@ class BatchPipeline:
         self.depth = constants.par.FRAMEBUF_MULTIPLICITY
         self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
         self.max_inflight = 0
-        # per-wire batch counts, e.g. {None: 3, (2, 10): 21} — surfaced
-        # in the corpus stats line so link adaptation is observable
+        # per-wire batch counts, e.g. {None: 3, ("r", 2, 7, 384): 21} —
+        # surfaced in the corpus stats line so link adaptation is
+        # observable; _wu_sticky keeps rice unary budgets monotone so
+        # quiet batches reuse compiled programs
         self.wire_counts: dict = {}
+        self._wu_sticky: dict = {}
 
     def _put(self, a):
         if self._sharding is not None:
@@ -1095,11 +1105,25 @@ class BatchPipeline:
         if self.upload_pack and self._eligible_pack:
             from ..ops import upack
 
-            packed_arrays = upack.try_pack(chunk)  # one scan + one pack
+            packed_arrays = upack.try_pack(chunk)  # scans + one pack
         if packed_arrays is not None:
-            words, firsts, order, width = packed_arrays
-            wire = (order, width)
-            payload = (words, firsts)
+            wire, payload = packed_arrays
+            if wire[0] == "r":
+                # sticky unary budget: a quieter batch pads up to the
+                # largest Wu already compiled for this (order, p) instead
+                # of forking a new jit key (zero padding is decode-inert)
+                _, o, p, wu = wire
+                floor = self._wu_sticky.get((o, p), 0)
+                if wu < floor:
+                    lo, unary, firsts = payload
+                    unary = np.concatenate(
+                        [unary, np.zeros(
+                            unary.shape[:-1] + (floor - wu,), np.uint32)],
+                        axis=-1,
+                    )
+                    wire, payload = ("r", o, p, floor), (lo, unary, firsts)
+                else:
+                    self._wu_sticky[(o, p)] = wu
         else:
             wire = None
             up = chunk.astype(np.int16) if self.bps <= 16 else chunk

@@ -352,6 +352,59 @@ def pack_upload(chunk: np.ndarray, order: int, width: int):
     return words, firsts
 
 
+def scan_rice(chunk: np.ndarray):
+    """C++ single-pass rice-wire statistics: (rows, 2, 18) int64 partial
+    sums S[r][order-1][p] = sum_t(zigzag(delta_order)[t] >> p), or
+    NotImplemented when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return NotImplemented
+    fn = lib.flacenc_scan_rice
+    if getattr(fn, "argtypes", None) is None:
+        fn.restype = None
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+    x = np.ascontiguousarray(chunk, dtype=np.int32)
+    T = x.shape[-1]
+    rows = x.size // T if T else 0
+    sums = np.zeros((rows, 2, 18), np.int64)
+    fn(_ptr(x, ctypes.c_int32), rows, T, _ptr(sums, ctypes.c_int64))
+    return sums.reshape(x.shape[:-1] + (2, 18))
+
+
+def pack_rice(chunk: np.ndarray, order: int, p: int, wu: int):
+    """C++ single-pass rice-wire pack at fixed (order, p) with a static
+    per-row unary word budget `wu`: (..., T) int ->
+    (lo (..., T*p/32) u32, unary (..., wu) u32, firsts (..., 2) i32),
+    or None if a row overflows the unary budget (caller falls back)."""
+    lib = _load()
+    assert lib is not None, f"native packer unavailable: {_load_error}"
+    fn = lib.flacenc_pack_rice
+    if getattr(fn, "argtypes", None) is None:
+        fn.restype = ctypes.c_int32
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+    x = np.ascontiguousarray(chunk, dtype=np.int32)
+    T = x.shape[-1]
+    assert T * p % 32 == 0, (T, p)
+    rows = x.size // T if T else 0
+    lo = np.empty(x.shape[:-1] + (T * p // 32,), np.uint32)
+    unary = np.empty(x.shape[:-1] + (wu,), np.uint32)
+    firsts = np.empty(x.shape[:-1] + (2,), np.int32)
+    ok = fn(
+        _ptr(x, ctypes.c_int32), rows, T, order, p, wu,
+        _ptr(lo, ctypes.c_uint32), _ptr(unary, ctypes.c_uint32),
+        _ptr(firsts, ctypes.c_int32),
+    )
+    return (lo, unary, firsts) if ok else None
+
+
 def parse_samples(data, bit_offset: int, count: int, bps: int):
     """C++ fixed-width signed sample run (the parser's verbatim/warm-up
     fast path): returns (new_bit_offset, (count,) int32 samples), None

@@ -936,6 +936,95 @@ void flacenc_pack_upload(
     }
 }
 
+// ---- rice-coded upload wire (ops/upack.py "rice" format) --------------
+// Entropy-coded deltas for link-starved transports: zigzag z of the
+// order-`order` delta stream splits into a fixed p-bit low plane
+// (LSB-first fields, like flacenc_pack_upload) and a unary quotient
+// substream (q = z >> p as q zeros then a 1, LSB-first bit order,
+// zero-padded to a static per-row word budget). The device reconstructs
+// with a cumsum + scatter-add — no sequential bit cursor.
+
+// scan: per-row partial sums S[r][o-1][p] = sum_t (z_o[t] >> p) for
+// o in {1,2}, p in 0..17 — everything the host needs to choose
+// (order, p) and size the unary budget without a second data pass.
+void flacenc_scan_rice(
+    const int32_t* x, int64_t rows, int64_t T,
+    int64_t* sums /* rows * 2 * 18 */) {
+    const int NP = 18;
+    for (int64_t r = 0; r < rows; ++r) {
+        const int32_t* xr = x + r * T;
+        int64_t* s1 = sums + r * 2 * NP;
+        int64_t* s2 = s1 + NP;
+        for (int i = 0; i < 2 * NP; ++i) s1[i] = 0;
+        int32_t prev = xr[0], prevd = 0;
+        for (int64_t t = 1; t < T; ++t) {
+            int32_t d1 = (int32_t)((uint32_t)xr[t] - (uint32_t)prev);
+            prev = xr[t];
+            uint32_t z1 = (uint32_t)((d1 << 1) ^ (d1 >> 31));
+            for (int p = 0; p < NP; ++p) s1[p] += z1 >> p;
+            if (t >= 2) {
+                int32_t d2 = (int32_t)((uint32_t)d1 - (uint32_t)prevd);
+                uint32_t z2 = (uint32_t)((d2 << 1) ^ (d2 >> 31));
+                for (int p = 0; p < NP; ++p) s2[p] += z2 >> p;
+            }
+            prevd = d1;
+        }
+    }
+}
+
+// pack at fixed (order, p): lo plane (rows x T*p/32 words) + unary
+// substream (rows x Wu words, zero-padded). Returns 0 if any row's
+// unary bits overflow Wu*32 (caller falls back), else 1.
+int32_t flacenc_pack_rice(
+    const int32_t* x, int64_t rows, int64_t T,
+    int32_t order, int32_t p, int64_t Wu,
+    uint32_t* lo_words, uint32_t* unary_words, int32_t* firsts) {
+    const int64_t Wl = T * p / 32;
+    const uint32_t mask = p >= 32 ? ~0u : ((1u << p) - 1u);
+    for (int64_t r = 0; r < rows; ++r) {
+        const int32_t* xr = x + r * T;
+        uint32_t* lw = lo_words + r * Wl;
+        uint32_t* uw = unary_words + r * Wu;
+        for (int64_t i = 0; i < Wu; ++i) uw[i] = 0;
+        firsts[r * 2 + 0] = xr[0];
+        firsts[r * 2 + 1] = (T > 1) ? xr[1] : xr[0];
+        uint64_t lo_acc = 0;
+        int lo_nb = 0;
+        int64_t ubit = 0;
+        int32_t prev = xr[0], prevd = 0;
+        for (int64_t t = 0; t < T; ++t) {
+            uint32_t z = 0;
+            if (t < order) {
+                if (t == 1) { prevd = (int32_t)((uint32_t)xr[1] - (uint32_t)xr[0]); prev = xr[1]; }
+            } else {
+                int32_t d1 = (int32_t)((uint32_t)xr[t] - (uint32_t)prev);
+                prev = xr[t];
+                int32_t d = d1;
+                if (order == 2) {
+                    d = (int32_t)((uint32_t)d1 - (uint32_t)prevd);
+                    prevd = d1;
+                }
+                z = (uint32_t)((d << 1) ^ (d >> 31));
+            }
+            // low plane
+            lo_acc |= (uint64_t)(z & mask) << lo_nb;
+            lo_nb += p;
+            if (lo_nb >= 32) {
+                *lw++ = (uint32_t)lo_acc;
+                lo_acc >>= 32;
+                lo_nb -= 32;
+            }
+            // unary plane: q zeros then a 1
+            uint32_t q = z >> p;
+            ubit += q;
+            if (ubit >= Wu * 32) return 0;
+            uw[ubit >> 5] |= 1u << (ubit & 31);
+            ++ubit;
+        }
+    }
+    return 1;
+}
+
 // Batched exact residual recompute for channels whose device-shipped
 // int16 residuals overflowed (models/batch_encoder._host_errors): the
 // same fixed/QLPC kernels the recompute packer uses, over a gathered

@@ -1,34 +1,41 @@
-"""Packed host->device wire format for PCM uploads.
+"""Packed host->device wire formats for PCM uploads.
 
 On link-starved hosts (e.g. tunneled devices at ~15-100 MB/s) the raw
-int16 PCM upload is the end-to-end ceiling. The host packs fixed-order
-delta residuals `d[t] = diff^order(x)[t]` (order 1 or 2) as little-endian
-WIDTH-bit two's-complement fields (the first `order` samples ship
-separately as int32), and the device reconstructs exactly with static
-shifts + int32 cumsums — no gathers, no data-dependent shapes.
+int16 PCM upload is the end-to-end ceiling. The host ships fixed-order
+delta residuals `d[t] = diff^order(x)[t]` (order 1 or 2; the first
+`order` samples travel separately as int32) in one of TWO formats, and
+the device reconstructs exactly with static-shape integer ops — output
+bytes NEVER depend on the wire (wrapping int32 semantics match numpy's
+diff bit for bit).
 
-Per BATCH the narrowest fitting format is chosen from
-order in {1, 2} x width in {8, 10, 12}: a C++ single-pass scan
-(`native.scan_upload`) measures the d1/d2 ranges, then a single-pass pack
-(`native.pack_upload`) emits the fields. Quiet/smooth material packs at
-8-10 bits (0.5-0.625x the raw int16 bytes); the round-2 bench corpus
-needs 12 (0.75x); full-scale noise overflows every width and falls back
-to raw — output bytes NEVER depend on the wire format (the device
-reconstruction is integer-exact, wrapping int32 like numpy's diff).
+("w", order, width) — fixed-width: little-endian `width`-bit
+two's-complement fields, width in {8, 9, 10, 11, 12} (odd widths need
+T %% 32 == 0). Decode = static shifts + cumsum(s). Width 16 is absent
+by design: it would equal the raw int16 upload.
 
-Width 16 is deliberately absent: for bps <= 16 inputs a 16-bit delta
-field costs exactly the raw int16 upload, so raw is the 16-bit case.
-Each (order, width) pair is one jit program variant; a stream that flips
-formats compiles at most 7 variants (6 packed + raw), amortized by the
-jit cache. The numpy implementations here are the portable fallback and
+("r", order, p, Wu) — rice-coded (entropy): zigzag z of the deltas
+splits into a fixed p-bit low plane (same field layout) and a unary
+quotient substream (q = z >> p as q zeros then a one, LSB-first,
+zero-padded to the static per-row word budget Wu). Decode is fully
+parallel: each zero bit belongs to the sample indexed by the count of
+one bits before it, so quotients are a cumsum + scatter-add — no
+sequential bit cursor, no data-dependent shapes. On the bench corpus
+this lands at ~1.25 B/sample where the best fixed width is 1.5.
+
+`try_pack` chooses per batch: C++ single-pass scans measure the delta
+ranges (`native.scan_upload`) and per-rice-parameter cost sums
+(`native.scan_rice`); the SMALLEST wire wins, with raw fallback when
+nothing beats int16 (full-scale noise). Each wire tuple is one jit
+program variant (the pipeline keeps rice Wu budgets sticky so variants
+stay few); the numpy implementations here are the portable fallback and
 the parity oracle for the C++ passes.
 
 Measured on the HTTP-tunneled v5e link (round 3): the transport itself
 compresses payloads (~3.5x faster for zeros than for random bytes), so
-the EFFECTIVE wire cost of any format is close to its entropy; fixed
-12-bit fields land at ~1.40 B/sample effective vs 1.77 for raw int16 on
-the bench corpus. The packing still pays on every link class because it
-also cuts the pre-compression byte count (transport CPU) by 25-50%.
+the EFFECTIVE cost of a compressible format is near its entropy — fixed
+12-bit fields land at ~1.40 B/sample effective vs 1.77 raw int16 on the
+bench corpus, while the rice wire's ~1.25 is already entropy-dense and
+also skips the transport compressor's CPU.
 """
 
 from __future__ import annotations
@@ -120,34 +127,164 @@ def pack(chunk: np.ndarray, order: int, width: int) -> Tuple[np.ndarray, np.ndar
     return np.ascontiguousarray(words), firsts
 
 
-def try_pack(chunk: np.ndarray):
-    """Adaptive one-call pack: ((words, firsts), order, width) or None.
+# ---------------------------------------------------------------------------
+# rice-coded wire ("r"): entropy coding for link-starved transports
+# ---------------------------------------------------------------------------
+#
+# zigzag z of the order-`order` delta stream splits into a fixed p-bit
+# low plane (same LSB-first field layout as the width format) and a
+# unary quotient substream (q = z >> p encoded as q zeros then a one,
+# LSB-first, zero-padded to a STATIC per-row word budget Wu). On the
+# bench corpus this lands at ~1.19 B/sample where the best fixed width
+# is 1.5 (and the transport compressor only gets that to ~1.40).
+# Device decode needs no sequential bit cursor: the t-th sample's
+# quotient is the count of zero bits between the (t-1)-th and t-th one
+# bits, i.e. a cumsum + scatter-add over the (static) bit array.
 
-    Fast path: C++ single-pass scan + single-pass pack (both release the
-    GIL); numpy fallback otherwise."""
+_RICE_NP = 18   # candidate rice parameters 0..17 (z fits 19 bits)
+_FIRSTS_BYTES = 8  # per-row int32 x2
+
+
+def _wu_bucket(T: int) -> int:
+    """Unary-budget rounding granularity (words): coarse enough that jit
+    keys stay stable across batches, fine enough that the padding stays
+    under ~1 bit/sample at any block size."""
+    return max(16, T // 64)
+
+
+def _zigzag(d: np.ndarray) -> np.ndarray:
+    return ((d.astype(np.int64) << 1) ^ (d.astype(np.int64) >> 63)).astype(
+        np.uint32
+    )
+
+
+def scan_rice_np(chunk: np.ndarray) -> np.ndarray:
+    """numpy oracle for `native.scan_rice`: (..., 2, 18) int64 partial
+    sums S[..., order-1, p] = sum_t(zigzag(delta_order)[t] >> p)."""
+    x = chunk.astype(np.int32)
+    out = np.zeros(x.shape[:-1] + (2, _RICE_NP), np.int64)
+    for order in (1, 2):
+        z = _zigzag(_deltas(x, order)).astype(np.int64)
+        for p in range(_RICE_NP):
+            out[..., order - 1, p] = (z >> p).sum(axis=-1)
+    return out
+
+
+def rice_plan(sums: np.ndarray, T: int):
+    """Chooses (order, p, Wu, wire_bytes) from scan_rice sums, or None.
+
+    Exact accounting: lo plane rows*(T*p/32)*4 bytes + unary plane
+    rows*Wu*4 (Wu = per-batch max row budget, bucketed for jit-key
+    stability) + firsts. p respects the T*p %% 32 == 0 layout rule."""
+    flat = sums.reshape(-1, 2, _RICE_NP)
+    R = flat.shape[0]
+    best = None
+    for order in (1, 2):
+        for p in range(_RICE_NP):
+            if (T * p) % 32 != 0:
+                continue
+            row_bits = flat[:, order - 1, p] + T  # unary bits per row
+            wu = int(-(-int(row_bits.max()) // 32))
+            bucket = _wu_bucket(T)
+            wu = -(-wu // bucket) * bucket
+            nbytes = R * ((T * p // 32) * 4 + wu * 4 + _FIRSTS_BYTES)
+            if best is None or nbytes < best[3]:
+                best = (order, p, wu, nbytes)
+    return best
+
+
+def pack_rice(chunk: np.ndarray, order: int, p: int, wu: int):
+    """numpy oracle for `native.pack_rice`: (..., T) ->
+    (lo (..., T*p/32) u32, unary (..., wu) u32, firsts (..., 2) i32);
+    None if a row overflows the unary budget."""
+    x = chunk.astype(np.int32)
+    T = x.shape[-1]
+    z = _zigzag(_deltas(x, order))
+    q = (z >> p).astype(np.int64)
+    ubits = q.sum(axis=-1) + T
+    if ubits.max() > wu * 32:
+        return None
+    # low plane: same field layout as pack() but unsigned low bits of z
+    if p:
+        lo_src = z & np.uint32((1 << p) - 1)
+        G = np.lcm(p, 32) // p
+        Wg = G * p // 32
+        ug = lo_src.reshape(x.shape[:-1] + (-1, G)).astype(np.uint64)
+        words = np.zeros(ug.shape[:-1] + (Wg,), np.uint64)
+        for j in range(G):
+            bit = j * p
+            k, off = bit // 32, bit % 32
+            words[..., k] |= (ug[..., j] << off) & np.uint64(0xFFFFFFFF)
+            if off + p > 32:
+                words[..., k + 1] |= ug[..., j] >> (32 - off)
+        lo = words.astype(np.uint32).reshape(x.shape[:-1] + (T * p // 32,))
+    else:
+        lo = np.zeros(x.shape[:-1] + (0,), np.uint32)
+    # unary plane: terminator one-bit positions are prefix sums of (q+1);
+    # LSB-first bit order, so little-endian packbits -> little-endian u32
+    unary = np.zeros(x.shape[:-1] + (wu * 32,), np.uint8)
+    term = np.cumsum(q + 1, axis=-1) - 1  # bit index of sample t's one
+    np.put_along_axis(unary, term, 1, axis=-1)
+    unary = (
+        np.ascontiguousarray(np.packbits(unary, axis=-1, bitorder="little"))
+        .view(np.uint32)
+        .reshape(x.shape[:-1] + (wu,))
+    )
+    firsts = np.zeros(x.shape[:-1] + (2,), np.int32)
+    firsts[..., 0] = x[..., 0]
+    firsts[..., 1] = x[..., 1] if T > 1 else x[..., 0]
+    return lo, unary, firsts
+
+
+def try_pack(chunk: np.ndarray):
+    """Adaptive one-call pack: (wire, payload) or None (upload raw).
+
+    wire is ("w", order, width) or ("r", order, p, Wu); payload is the
+    matching array tuple — (words, firsts) or (lo, unary, firsts). The
+    SMALLEST wire wins: fixed width when the data is near-incompressible,
+    rice when entropy coding pays (usually everything musical).
+    Fast path: C++ single-pass scans + packs (GIL released); numpy
+    oracle fallback otherwise."""
     from .. import native
 
-    out = native.scan_upload(chunk)
-    if out is NotImplemented:
-        fmt = scan(chunk)
-        if fmt is None:
-            return None
-        return pack(chunk, *fmt) + fmt
-    if out is None:
+    T = chunk.shape[-1]
+    rows = chunk.size // T if T else 0
+    if rows == 0 or T < 2:
         return None
-    order, width = out
-    words, firsts = native.pack_upload(chunk, order, width)
-    return words, firsts, order, width
+    fmt = native.scan_upload(chunk)
+    use_native = fmt is not NotImplemented
+    if not use_native:
+        fmt = scan(chunk)
+    sums = native.scan_rice(chunk) if use_native else scan_rice_np(chunk)
+    width_bytes = None
+    if fmt is not None:
+        order, width = fmt
+        width_bytes = rows * ((T * width // 32) * 4 + _FIRSTS_BYTES)
+    rice = rice_plan(np.asarray(sums), T)
+    raw_bytes = rows * T * 2  # int16 upload (bps <= 16 eligibility)
+    if rice is not None and rice[3] >= raw_bytes:
+        rice = None
+    if rice is not None and (width_bytes is None or rice[3] < width_bytes):
+        r_order, p, wu, _ = rice
+        packed = (
+            native.pack_rice(chunk, r_order, p, wu)
+            if use_native else pack_rice(chunk, r_order, p, wu)
+        )
+        if packed is not None:
+            return ("r", r_order, p, wu), packed
+    if fmt is None:
+        return None
+    order, width = fmt
+    packed = (
+        native.pack_upload(chunk, order, width)
+        if use_native else pack(chunk, order, width)
+    )
+    return ("w", order, width), packed
 
 
-def unpack(words: jnp.ndarray, firsts: jnp.ndarray, T: int,
-           order: int = 1, width: int = 12) -> jnp.ndarray:
-    """Device-side inverse of `pack`: (..., W) uint32 -> (..., T) int32.
-
-    Static shifts + int32 cumsum(s); the order-2 closed form
-    x[t] = x0 + t*(x1-x0) + cumsum(cumsum(d))[t] is exact in wrapping
-    int32 arithmetic (the true x fits int32, so mod-2^32 equality is
-    equality)."""
+def _extract_fields(words: jnp.ndarray, T: int, width: int) -> jnp.ndarray:
+    """LSB-first fixed-width field extraction: (..., T*width/32) u32 ->
+    (..., T) u32 (static shifts, no gathers)."""
     G = int(np.lcm(width, 32)) // width
     Wg = G * width // 32
     g = words.reshape(words.shape[:-1] + (-1, Wg))
@@ -160,12 +297,63 @@ def unpack(words: jnp.ndarray, firsts: jnp.ndarray, T: int,
         if off + width > 32:
             v = v | (g[..., k + 1] << jnp.uint32(32 - off))
         fields.append(v & m)
-    u = jnp.stack(fields, axis=-1).reshape(words.shape[:-1] + (T,))
-    sign = 1 << (width - 1)
-    d = (u ^ jnp.uint32(sign)).astype(jnp.int32) - jnp.int32(sign)
+    return jnp.stack(fields, axis=-1).reshape(words.shape[:-1] + (T,))
+
+
+def _reconstruct(d: jnp.ndarray, firsts: jnp.ndarray, T: int,
+                 order: int) -> jnp.ndarray:
+    """Shared delta reconstruction: int32 cumsum(s); the order-2 closed
+    form x[t] = x0 + t*(x1-x0) + cumsum(cumsum(d))[t] is exact in
+    wrapping int32 arithmetic (the true x fits int32, so mod-2^32
+    equality is equality)."""
     x0 = firsts[..., 0].astype(jnp.int32)[..., None]
     if order == 1:
         return x0 + jnp.cumsum(d, axis=-1)
     x1 = firsts[..., 1].astype(jnp.int32)[..., None]
     t = jnp.arange(T, dtype=jnp.int32)
     return x0 + t * (x1 - x0) + jnp.cumsum(jnp.cumsum(d, axis=-1), axis=-1)
+
+
+def unpack(words: jnp.ndarray, firsts: jnp.ndarray, T: int,
+           order: int = 1, width: int = 12) -> jnp.ndarray:
+    """Device-side inverse of `pack`: (..., W) uint32 -> (..., T) int32."""
+    u = _extract_fields(words, T, width)
+    sign = 1 << (width - 1)
+    d = (u ^ jnp.uint32(sign)).astype(jnp.int32) - jnp.int32(sign)
+    return _reconstruct(d, firsts, T, order)
+
+
+def unpack_rice(lo: jnp.ndarray, unary: jnp.ndarray, firsts: jnp.ndarray,
+                T: int, order: int, p: int) -> jnp.ndarray:
+    """Device-side inverse of `pack_rice` — fully parallel unary decode.
+
+    Each zero bit of the unary plane belongs to the sample whose index is
+    the count of one bits before it (an exclusive cumsum), so the
+    quotients are a scatter-add of zero-bits into T+1 segments — static
+    shapes throughout, no sequential bit cursor. Zero padding past the
+    T-th terminator accumulates in the dropped overflow segment."""
+    lead = unary.shape[:-1]
+    Wu = unary.shape[-1]
+    U = Wu * 32
+    bits = (
+        (unary[..., None] >> jnp.arange(32, dtype=jnp.uint32)) & jnp.uint32(1)
+    ).astype(jnp.int32).reshape(lead + (U,))
+    ones_before = jnp.cumsum(bits, axis=-1) - bits  # exclusive
+    seg = jnp.minimum(ones_before, T)
+    R = int(np.prod(lead)) if lead else 1
+    flat_idx = (
+        jnp.arange(R, dtype=jnp.int32)[:, None] * (T + 1)
+        + seg.reshape(R, U)
+    ).reshape(-1)
+    zeros_flat = (1 - bits).reshape(-1)
+    q = (
+        jnp.zeros(R * (T + 1), jnp.int32)
+        .at[flat_idx]
+        .add(zeros_flat)
+        .reshape(lead + (T + 1,))[..., :T]
+    )
+    z = q.astype(jnp.uint32) << p
+    if p:
+        z = z | _extract_fields(lo, T, p)
+    d = (z >> 1).astype(jnp.int32) ^ -(z & 1).astype(jnp.int32)
+    return _reconstruct(d, firsts, T, order)

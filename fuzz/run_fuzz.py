@@ -296,15 +296,16 @@ def one_upload_case(seed: int, block_size: int = 512) -> None:
             b = int(rng.integers(a, signal_len))
             x[a:b] = rng.integers(-32768, 32768, b - a, dtype=np.int64)
         interleaved[ch::channels] = x
-    # record which formats this case's batches select (coverage witness)
+    # record which wire each 4-block batch would select (coverage
+    # witness): None (raw), ("w", order, width), or ("r", order, p, Wu)
     nb = signal_len // block_size
     for i in range(0, max(nb, 1), 4):
         blocks = interleaved.reshape(-1, channels).T[
             :, i * block_size:(i + 4) * block_size
         ]
         if blocks.shape[1] and blocks.shape[1] % block_size == 0:
-            fmt = upack.scan(blocks.reshape(channels, -1, block_size))
-            one_upload_case.formats_seen.add(fmt)
+            out = upack.try_pack(blocks.reshape(channels, -1, block_size))
+            one_upload_case.formats_seen.add(out[0] if out else None)
     # default config only: this tier tests WIRE transparency, and every
     # (config, wire) pair is a fresh jit compile — config interplay is
     # the --device tier's job (keeps a 25-case run minutes, not tens)
@@ -420,12 +421,15 @@ def main() -> int:
         print(f"wire formats covered: {sorted(seen, key=repr)}")
         if args.iters >= 25:
             # a full run must sweep the adaptive matrix: raw fallback,
-            # both orders, and at least three width tiers
+            # both wire kinds (rice + fixed width), both delta orders,
+            # and a spread of rice parameters
             assert None in seen, "raw-fallback batches never exercised"
-            orders = {f[0] for f in seen if f}
-            widths = {f[1] for f in seen if f}
+            kinds = {f[0] for f in seen if f}
+            assert kinds == {"r", "w"}, f"wire kinds covered: {kinds}"
+            orders = {f[1] for f in seen if f}
             assert orders == {1, 2}, f"delta orders covered: {orders}"
-            assert len(widths) >= 3, f"width tiers covered: {widths}"
+            rice_ps = {f[2] for f in seen if f and f[0] == "r"}
+            assert len(rice_ps) >= 3, f"rice params covered: {rice_ps}"
     print(f"{args.iters} cases passed")
     return 0
 

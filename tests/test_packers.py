@@ -420,3 +420,78 @@ def test_native_compute_errors_matches_oracle():
         else:
             want = ref_np.fixed_lpc_errors(sig[i])[order[i]]
         assert np.array_equal(got[i], want), i
+
+
+def test_rice_wire_parity_and_roundtrip():
+    """Rice-coded upload wire: C++ scan/pack == numpy oracle, device
+    unpack is integer-exact, and try_pack picks rice when entropy coding
+    beats every fixed width (musical content)."""
+    import jax
+
+    from flacenc_tpu.ops import upack
+
+    rng = np.random.default_rng(21)
+    for order in (1, 2):
+        for p in (0, 3, 4, 8):
+            T = 512 if (512 * p) % 32 == 0 else 1024
+            if (T * p) % 32:
+                continue
+            scale = max(1, 3 << max(p - 1, 0))
+            x = np.clip(
+                np.cumsum(rng.integers(-scale, scale, (3, 2, T)), -1),
+                -32768, 32767,
+            ).astype(np.int32)
+            assert np.array_equal(
+                native.scan_rice(x), upack.scan_rice_np(x)
+            ), (order, p)
+            sums = upack.scan_rice_np(x).reshape(-1, 2, 18)
+            wu = -(-int((sums[:, order - 1, p] + T).max()) // 32)
+            wu = -(-wu // 16) * 16
+            got_c = native.pack_rice(x, order, p, wu)
+            got_np = upack.pack_rice(x, order, p, wu)
+            assert got_c is not None and got_np is not None
+            for a, b in zip(got_c, got_np):
+                assert np.array_equal(a, b), (order, p)
+            y = np.asarray(jax.jit(
+                lambda l, u, f, o=order, pp=p, t=T: upack.unpack_rice(
+                    l, u, f, t, o, pp)
+            )(*got_c))
+            assert np.array_equal(y, x), (order, p)
+
+    # smooth musical content -> try_pack picks the rice wire and the
+    # payload is smaller than the best fixed width
+    t = np.arange(4 * 1024, dtype=np.float64)
+    tone = np.round(
+        18000 * np.sin(2 * np.pi * 220 / 44100 * t)
+        + 40 * np.sin(2 * np.pi * 6000 / 44100 * t)
+    ).astype(np.int32)
+    blocks = tone.reshape(4, 1, 1024)
+    wire, payload = upack.try_pack(blocks)
+    assert wire[0] == "r", wire
+    fmt = upack.scan(blocks)
+    width_bytes = blocks.size // 1024 * ((1024 * fmt[1] // 32) * 4 + 8)
+    assert sum(a.nbytes for a in payload) < width_bytes
+
+    # unary budget overflow inside pack -> None (callers fall back)
+    assert native.pack_rice(blocks, 1, 0, 16) is None
+    assert upack.pack_rice(blocks, 1, 0, 16) is None
+
+
+def test_rice_wire_pipeline_byte_identical():
+    """End-to-end: tonal stream (rice wire) forced packed == raw bytes."""
+    n = 1024 * 5
+    t = np.arange(n, dtype=np.float64)
+    x = np.zeros(2 * n, np.int32)
+    x[0::2] = np.round(15000 * np.sin(2 * np.pi * 180 / 44100 * t)).astype(np.int32)
+    x[1::2] = np.round(12000 * np.sin(2 * np.pi * 300 / 44100 * t)).astype(np.int32)
+    cfg = config.Encoder().into_verified()
+    raw = be.encode_with_fixed_block_size(
+        cfg, source.MemSource(x, 2, 16, 44100), 1024,
+        batch_size=4, upload_pack=False,
+    ).to_bytes()
+    packed = be.encode_with_fixed_block_size(
+        cfg, source.MemSource(x, 2, 16, 44100), 1024,
+        batch_size=4, upload_pack=True,
+    ).to_bytes()
+    assert packed == raw
+    assert np.array_equal(decode_stream(parse_stream(packed)), x)
