@@ -19,6 +19,23 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# fuzzing runs on CPU when JAX_PLATFORMS=cpu is requested even on boxes
+# where a TPU-tunnel plugin (axon sitecustomize) hijacks platform
+# selection — same dance as tests/conftest.py; a dead tunnel would
+# otherwise HANG the campaign at the first device op
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    sys.path[:] = [p for p in sys.path if "axon" not in p]
+    os.environ["PYTHONPATH"] = ":".join(
+        p for p in os.environ.get("PYTHONPATH", "").split(":")
+        if p and "axon" not in p
+    )
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 import numpy as np
 
 from flacenc_tpu import config, sigen, source

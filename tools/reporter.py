@@ -138,9 +138,13 @@ def main() -> int:
             flush=True,
         )
 
+    import jax
+
     os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
     with open(args.output, "w") as f:
         f.write("# flacenc-tpu benchmark report\n\n")
+        f.write(f"Backend: `{jax.default_backend()}` "
+                f"({len(jax.devices())} device(s)).\n")
         f.write(f"Corpus: {len(corpus)} synthetic stereo programs, ")
         f.write(f"{args.seconds:.0f}s each, 16-bit/44.1kHz. All outputs verified\n")
         f.write("sample-exact through the CRC-checking parser.\n\n")
