@@ -58,10 +58,34 @@ def make_audio(seconds: float, rate: int = 44100) -> np.ndarray:
     return interleaved
 
 
+def _watchdog(minutes: float = 40.0) -> None:
+    """Hard exit if the bench wedges (a dead TPU tunnel blocks inside the
+    runtime where no Python exception can fire) — the driver gets a JSON
+    error line instead of an infinite hang."""
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "x-realtime encode per chip (16/44.1 stereo, block=4096)",
+            "value": 0.0,
+            "unit": "x_realtime",
+            "vs_baseline": 0.0,
+            "extra": {"error": f"bench watchdog fired after {minutes} min "
+                               "(device backend unresponsive)"},
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(minutes * 60.0, fire)
+    t.daemon = True
+    t.start()
+
+
 def main() -> None:
     from flacenc_tpu import config
     from flacenc_tpu.models import batch_encoder as be
     from flacenc_tpu.source import MemSource
+
+    _watchdog(float(os.environ.get("BENCH_WATCHDOG_MINUTES", "40")))
 
     rate, bps, block = 44100, 16, 4096
     warm_seconds = float(os.environ.get("BENCH_WARM_SECONDS", "12"))
