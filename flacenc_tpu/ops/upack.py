@@ -327,31 +327,27 @@ def unpack_rice(lo: jnp.ndarray, unary: jnp.ndarray, firsts: jnp.ndarray,
                 T: int, order: int, p: int) -> jnp.ndarray:
     """Device-side inverse of `pack_rice` — fully parallel unary decode.
 
-    Each zero bit of the unary plane belongs to the sample whose index is
-    the count of one bits before it (an exclusive cumsum), so the
-    quotients are a scatter-add of zero-bits into T+1 segments — static
-    shapes throughout, no sequential bit cursor. Zero padding past the
-    T-th terminator accumulates in the dropped overflow segment."""
+    Sort-compaction: the position of sample t's terminator one-bit is the
+    t-th smallest element of {j : bits[j]=1}, extracted with ONE stable
+    sort per row (ones keyed by position, zeros pushed past the end), so
+    q_t = pos_t - pos_{t-1} - 1 — static shapes, no sequential bit
+    cursor. A scatter-add formulation is mathematically simpler but
+    measured ~55 ms/batch on the v5e (TPU scatters serialize) where the
+    batched sort is VPU-friendly. Zero padding past the T-th terminator
+    sorts to the dropped tail."""
     lead = unary.shape[:-1]
     Wu = unary.shape[-1]
     U = Wu * 32
     bits = (
         (unary[..., None] >> jnp.arange(32, dtype=jnp.uint32)) & jnp.uint32(1)
     ).astype(jnp.int32).reshape(lead + (U,))
-    ones_before = jnp.cumsum(bits, axis=-1) - bits  # exclusive
-    seg = jnp.minimum(ones_before, T)
-    R = int(np.prod(lead)) if lead else 1
-    flat_idx = (
-        jnp.arange(R, dtype=jnp.int32)[:, None] * (T + 1)
-        + seg.reshape(R, U)
-    ).reshape(-1)
-    zeros_flat = (1 - bits).reshape(-1)
-    q = (
-        jnp.zeros(R * (T + 1), jnp.int32)
-        .at[flat_idx]
-        .add(zeros_flat)
-        .reshape(lead + (T + 1,))[..., :T]
+    j = jnp.arange(U, dtype=jnp.int32)
+    key = jnp.where(bits == 1, j, U + j)  # ones first, position order kept
+    pos = jnp.sort(key, axis=-1)[..., :T]
+    prev = jnp.concatenate(
+        [jnp.full(lead + (1,), -1, jnp.int32), pos[..., :-1]], axis=-1
     )
+    q = pos - prev - 1
     z = q.astype(jnp.uint32) << p
     if p:
         z = z | _extract_fields(lo, T, p)
