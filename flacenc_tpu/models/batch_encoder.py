@@ -418,6 +418,11 @@ def build_encoder_fn(
                 blocks = upack.unpack_rice(
                     lo, unary, firsts, block_size, order, p
                 )
+            elif packed_wire[0] == "d":
+                _, order = packed_wire
+                d, firsts = blocks, ext[0]
+                ext = ext[1:]
+                blocks = upack.unpack_delta(d, firsts, block_size, order)
             else:
                 _, order, width = packed_wire
                 words, firsts = blocks, ext[0]
@@ -783,90 +788,116 @@ def frames_from_device(
 
 DEFAULT_BATCH = 64
 
-# packed-upload hysteresis thresholds (MB/s): the wire format pays when
-# the link is slower than the ~1.2 GB/s single-pass C++ pack can feed;
-# the band between ON and OFF prevents flip-thrash on a noisy estimate
-_PACK_ON_MBPS = 250.0
-_PACK_OFF_MBPS = 400.0
+# A measured raw-wire effective bandwidth above this means the link is
+# not the bottleneck (PCIe-class): stay on the zero-CPU raw wire and
+# don't spend compiles/CPU exploring packed formats
+_FAST_LINK_MBPS = 400.0
+# saturated batches between re-probes of a currently-losing wire format
+_EXPLORE_EVERY = 12
+# never re-probe a format predicted worse than this ratio vs the current
+# one (a 100x-regime shift moves the in-use format's estimate too, so
+# the ratio shrinks until probing resumes on its own)
+_EXPLORE_MAX_RATIO = 3.0
 
 
 class LinkEstimator:
-    """Rolling EWMA of the link's EFFECTIVE upload bandwidth.
+    """Per-wire-format batch-time racer.
 
-    Replaces the round-2 one-shot, permanently-memoized probe (the tunnel
-    swings 10-100 MB/s minute to minute — VERDICT r2 weak #2). Two signal
-    sources feed `update`:
+    The round-2 design thresholded ONE bandwidth estimate against fixed
+    MB/s bands — but measurements on the tunneled v5e showed the wires
+    do not share a bandwidth: the transport compresses payloads, so raw
+    PCM of tonal material moves ~2x faster than its nominal bytes while
+    the entropy-dense rice wire moves at nominal speed, and the packs'
+    host CPU cost (2-12 ms/batch) rivals the link gap on single-core
+    hosts. Which wire is fastest therefore flips with BOTH the link
+    window and the corpus — so measure each wire's actual steady-state
+    batch completion gap and race them:
 
-    - a single cheap seed probe on the first-ever submit (so the very
-      first batches of a fresh process are already classified), and
-    - the steady-state pipeline itself: when the in-flight queue is full,
-      the gap between consecutive batch completions IS the bottleneck
-      stage time, so uploaded_bytes/gap is the effective through-rate.
-      Compute-bound gaps under-read the link, which only errs toward
-      keeping the (cheap) packed format on — never toward losing it on a
-      genuinely slow link.
+    - `update(nbytes, seconds, kind)` feeds the drained batch's gap into
+      the kind's geometric EWMA (gaps at full pipeline depth measure the
+      bottleneck stage — link time AND the wire's own CPU cost included,
+      whichever binds; log-space averaging follows the tunnel's
+      decade-scale swings in 2-3 samples).
+    - `choose(kinds, current)` returns the kind with the smallest
+      predicted gap, with a 10% preference for the incumbent (hysteresis
+      against flip-thrash), a one-batch re-probe of any kind whose
+      estimate has gone stale (bounded by `_EXPLORE_MAX_RATIO` so a
+      known-terrible wire is not re-paid for), and a raw-first cold
+      start: packed kinds are only explored once a measured raw gap
+      shows the link is slower than `_FAST_LINK_MBPS` (on PCIe-class
+      links raw is optimal and exploration would only burn compiles).
 
-    The verdict can flip between any two batches; both jit program
-    variants stay cached, and output bytes never depend on the wire.
+    Wire kinds: "raw" (int16/int32 PCM), "d" (delta16 — near-zero CPU,
+    transport-compressible), "pack" (the dense "w"/"r" formats of
+    ops/upack.try_pack). Output bytes NEVER depend on the wire.
     """
 
     def __init__(self) -> None:
-        self.mbps: Optional[float] = None
+        self.secs: dict = {}    # kind -> EWMA steady-state seconds/batch
+        self.nbytes: dict = {}  # kind -> EWMA wire bytes/batch
+        self.age: dict = {}     # kind -> saturated batches since sampled
+        self.mbps: Optional[float] = None  # latest effective MB/s (stats)
 
-    def update(self, nbytes: int, seconds: float) -> None:
+    def update(self, nbytes: int, seconds: float, kind: str = "raw") -> None:
         if seconds <= 0 or nbytes <= 0:
             return
-        sample = max(nbytes / seconds / 1e6, 1e-3)
-        # geometric EWMA: bandwidth is a multiplicative quantity and the
-        # tunnel swings by decades — log-space averaging converges in 2-3
-        # samples after a 100x shift where a linear EWMA needs ~7
-        self.mbps = (
-            sample
-            if self.mbps is None
-            else float((self.mbps * sample) ** 0.5)
+        self.mbps = max(nbytes / seconds / 1e6, 1e-3)
+        for k in self.age:
+            self.age[k] += 1
+        prev = self.secs.get(kind)
+        # geometric EWMA, but adopt IMPROVEMENTS faster (cap at 2x the
+        # new sample): gap noise is one-sided — stalls inflate a gap,
+        # nothing deflates it below the wire's true cost — so a much
+        # faster sample is direct evidence, a much slower one may be a
+        # transient stall
+        self.secs[kind] = (
+            seconds if prev is None
+            else min(float((prev * seconds) ** 0.5), 2.0 * seconds)
+        )
+        prevb = self.nbytes.get(kind)
+        self.nbytes[kind] = (
+            nbytes if prevb is None else float((prevb * nbytes) ** 0.5)
+        )
+        self.age[kind] = 0
+
+    def _link_is_fast(self) -> bool:
+        raw_s, raw_b = self.secs.get("raw"), self.nbytes.get("raw")
+        return raw_s is not None and raw_b is not None and (
+            raw_b / raw_s / 1e6 > _FAST_LINK_MBPS
         )
 
-    def should_pack(self, current: bool) -> bool:
-        if self.mbps is None:
-            return current
-        if self.mbps < _PACK_ON_MBPS:
-            return True
-        if self.mbps > _PACK_OFF_MBPS:
-            return False
-        return current
+    def choose(self, kinds, current: str) -> str:
+        known = {k: self.secs[k] for k in kinds if k in self.secs}
+        if "raw" not in known:
+            return "raw"  # cold start: measure the zero-CPU wire first
+        if len(known) < len(kinds):
+            # unexplored kinds: probe them (once each) unless the raw
+            # gap already proves the link is not the bottleneck
+            if self._link_is_fast():
+                return "raw"
+            for k in kinds:
+                if k not in known:
+                    return k
+        cur = known.get(current, float("inf"))
+        best = min(known, key=known.get)
+        # stale re-probe: estimates decay in relevance as the tunnel
+        # swings; refresh a losing kind occasionally, cost-bounded
+        for k in kinds:
+            if (
+                k != current
+                and self.age.get(k, 0) >= _EXPLORE_EVERY
+                and known.get(k, float("inf")) <= cur * _EXPLORE_MAX_RATIO
+            ):
+                self.age[k] = 0  # pay the probe now, not again next batch
+                return k
+        if known[best] < cur * 0.9:
+            return best
+        return current if current in known else best
 
 
 # process-wide estimator: the link identity doesn't change within a
-# process, but its SPEED does — the EWMA keeps learning across encodes
+# process, but its SPEED does — the racer keeps learning across encodes
 _LINK_EST = LinkEstimator()
-_SEED_PROBED = False
-
-
-def _seed_probe(payload: np.ndarray) -> None:
-    """One-time forced upload measuring the link on a representative
-    payload. A zeros upload of the same shape first absorbs the reducer
-    compile and transport warm-up (the transport compresses, so the
-    warm-up payload is cheap on slow links)."""
-    global _SEED_PROBED
-
-    if _SEED_PROBED or _LINK_EST.mbps is not None:
-        return
-    _SEED_PROBED = True
-    import time as _time
-
-    try:
-        warm = np.zeros_like(payload)
-        # consume + fetch: block_until_ready on a fresh upload does NOT
-        # reliably force the transfer on deferred-upload transports
-        jax.device_get(jnp.sum(jnp.asarray(warm).astype(jnp.int32)))
-        t0 = _time.perf_counter()
-        jax.device_get(jnp.sum(jnp.asarray(payload).astype(jnp.int32)))
-        _LINK_EST.update(payload.nbytes, _time.perf_counter() - t0)
-    except Exception:
-        # a failed PROBE must never fail an encode (transient transport
-        # errors were observed on the tunneled backend); the rolling
-        # drain-gap estimate takes over after a few batches instead
-        pass
 
 
 def _bucket_pad(chunk: np.ndarray, batch_size: int) -> np.ndarray:
@@ -995,17 +1026,18 @@ class BatchPipeline:
         )
         self._fns = {}  # wire format -> jitted program, built lazily
         explicit_pack = upload_pack is True
+        explicit_auto = upload_pack == "auto"
         if upload_pack == "env":
             env = os.environ.get("FLACENC_PACKED_UPLOAD", "")
-            upload_pack = "auto" if env == "" else env == "1"
-        # adaptive delta wire format (ops/upack.py): up to 2x less
-        # host->device traffic, exact. "auto" (the default) starts from a
-        # one-time seed probe and keeps a rolling effective-bandwidth
-        # estimate (`LinkEstimator`), flipping the wire between batches —
-        # on a PCIe-attached chip the saving is smaller than the (cheap
-        # C++) pack pass, on a tunneled device the link is the end-to-end
-        # ceiling and packing is a straight win. Each (order, width) the
-        # stream visits compiles one program variant (jit cache amortizes).
+            upload_pack = {"": "auto", "1": True, "d": "delta"}.get(env, False)
+        # packed upload wire formats (ops/upack.py): less or
+        # more-compressible host->device traffic, always exact. "auto"
+        # (the default) RACES the wire kinds on their measured
+        # steady-state batch gaps (`LinkEstimator`), flipping between
+        # batches — on a PCIe-attached chip raw wins (zero CPU), on a
+        # tunneled device the link is the end-to-end ceiling and a packed
+        # wire is a straight win. Each wire the stream visits compiles
+        # one program variant (jit cache amortizes).
         self.upload_mode = "off"
         eligible = False
         if upload_pack:
@@ -1024,22 +1056,43 @@ class BatchPipeline:
                 # adapt only on the default decisions path: residual-
                 # shipping packers are already download-heavy, and their
                 # packed-upload program variant has a pathological compile
-                # cost — explicit upload_pack=True still enables it there
+                # cost — explicit upload_pack=True still enables it there.
+                # On a host-local (cpu-platform) backend there is no link
+                # to beat — transfers are memcpys — so the racer would
+                # only burn compiles + copies exploring wires that cannot
+                # win; stay raw there (upload_pack="auto" still forces
+                # the racer, for tests and virtual-mesh experiments)
                 if eligible and native.available() and packer == "native2":
-                    self.upload_mode = "auto"
+                    try:
+                        local = jax.devices()[0].platform == "cpu"
+                    except Exception:
+                        local = True
+                    if explicit_auto or not local:
+                        self.upload_mode = "auto"
             elif eligible:
-                self.upload_mode = "on"
+                self.upload_mode = "delta" if upload_pack == "delta" else "on"
         self._eligible_pack = eligible
-        # current wire verdict (auto mode starts from the rolling estimate)
-        self.upload_pack = (
-            self.upload_mode == "on"
-            or (self.upload_mode == "auto" and _LINK_EST.should_pack(False))
+        # wire kind of the LAST submitted batch ("raw" | "d" | "pack");
+        # auto mode's racer takes it as the incumbent
+        self._wire_kind = {"on": "pack", "delta": "d"}.get(
+            self.upload_mode, "raw"
         )
+        self.upload_pack = self._wire_kind != "raw"
         self._sharding = _auto_mesh(mesh, batch_size)
         self._in_flight: List[tuple] = []
         self._last_drain: Optional[float] = None
         self.depth = constants.par.FRAMEBUF_MULTIPLICITY
         self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
+        # background wire-variant compilation (auto mode): a fresh wire's
+        # first jit costs ~tens of seconds on remote-compile backends —
+        # paid inline it stalls the stream AND poisons the racer's gap
+        # estimate for that format. Instead the variant compiles on this
+        # dedicated thread (remote compile barely touches the host CPU)
+        # while batches keep shipping on an already-compiled wire; the
+        # new format's first measured gap is then compile-free.
+        self.async_compile = self.upload_mode == "auto" and not strict_lpc
+        self._warming: dict = {}
+        self._compile_pool = None
         self.max_inflight = 0
         # per-wire batch counts, e.g. {None: 3, ("r", 2, 7, 384): 21} —
         # surfaced in the corpus stats line so link adaptation is
@@ -1064,6 +1117,72 @@ class BatchPipeline:
                 wire_encoded=self.packer != "native2",
             )
         return fn
+
+    def _wire_ready(self, wire) -> bool:
+        """True when `wire`'s program can run without compiling inline."""
+        if wire is None or wire in self._fns:
+            return True
+        fut = self._warming.get(wire)
+        if fut is not None and fut.done():
+            fut.result()  # surface background compile errors
+            self._fn_for(wire)  # instant: pulls the lru-cached, warm fn
+            return True
+        return False
+
+    def _start_warm(self, wire, payload) -> None:
+        """Compile + warm `wire`'s program in the background (zeros of
+        the payload's shapes; transports compress zeros, so the warm
+        upload is cheap even on slow links)."""
+        if wire in self._warming:
+            return
+        import concurrent.futures
+
+        if self._compile_pool is None:
+            # 2 workers: compiles run on the (remote) compile server and
+            # barely touch the host CPU — let both pre-warmed variants
+            # compile concurrently
+            self._compile_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=2
+            )
+        shapes = [(a.shape, a.dtype) for a in payload]
+
+        def warm():
+            fn = _cached_encoder_fn(
+                self.cfg.to_toml(), self.nch, self.bps, self.block_size,
+                self.strict_lpc, self.packer == "native2",
+                packed_wire=wire,
+                wire_encoded=self.packer != "native2",
+            )
+            zeros = [self._put(np.zeros(s, d)) for s, d in shapes]
+            jax.block_until_ready(fn(*zeros))
+
+        self._warming[wire] = self._compile_pool.submit(warm)
+
+    def _prewarm(self, chunk) -> None:
+        """Start background compiles of the delta16 wire and the dense
+        wire the first batch's scan selects (one scan+pack to discover
+        the tuple; its ~10 ms host cost is one-time)."""
+        from ..ops import upack
+
+        dwire, dpayload = upack.pack_delta(chunk)
+        self._start_warm(dwire, dpayload)
+        packed = upack.try_pack(chunk)
+        if packed is not None:
+            wire, payload = packed
+            if wire[0] == "r":  # pre-seed the sticky budget too
+                self._wu_sticky[(wire[1], wire[2])] = wire[3]
+            self._start_warm(wire, payload)
+
+    def _fallback_wire(self, chunk):
+        """Best already-compiled wire while the chosen one compiles:
+        the delta16 variant if warm, else raw PCM."""
+        d_wire = ("d", 2)
+        if d_wire in self._fns:
+            from ..ops import upack
+
+            return upack.pack_delta(chunk)
+        up = chunk.astype(np.int16) if self.bps <= 16 else chunk
+        return None, (up,)
 
     def _fetch(self, enc):
         """io thread: blocking device->host fetch + host-side split."""
@@ -1091,21 +1210,38 @@ class BatchPipeline:
         pipeline is at depth, else None."""
         chunk = _bucket_pad(np.stack(blocks_list), self.batch_size)
         verify_sample_range(chunk, self.bps)
-        if self.upload_mode == "auto":
-            # rolling wire decision, re-read before EVERY batch: the seed
-            # probe classifies a fresh process once; after that the drain
-            # gaps keep the estimate current and the verdict may flip
-            # between any two batches (bytes never change)
-            if _LINK_EST.mbps is None and not _SEED_PROBED:
-                _seed_probe(
-                    chunk.astype(np.int16) if self.bps <= 16 else chunk
-                )
-            self.upload_pack = _LINK_EST.should_pack(self.upload_pack)
+        kind = "raw"
+        if self._eligible_pack:
+            if self.upload_mode == "auto":
+                # racer decision, re-read before EVERY batch: steady-state
+                # drain gaps keep the per-wire estimates current and the
+                # verdict may flip between any two batches (bytes never
+                # change)
+                kind = _LINK_EST.choose(("raw", "d", "pack"),
+                                        self._wire_kind)
+            elif self.upload_mode == "on":
+                kind = "pack"
+            elif self.upload_mode == "delta":
+                kind = "d"
+        if (self.upload_mode == "auto" and self.async_compile
+                and self._eligible_pack and not self.wire_counts
+                and not self._warming):
+            # pre-warm the exploration set from the FIRST batch's
+            # statistics: the racer can only pick formats whose programs
+            # exist, and a background compile takes longer than many
+            # short encodes — starting both candidate compiles at stream
+            # start (process-wide jit cache) means they are ready by the
+            # time the racer wants them
+            self._prewarm(chunk)
         packed_arrays = None
-        if self.upload_pack and self._eligible_pack:
+        if kind == "pack":
             from ..ops import upack
 
-            packed_arrays = upack.try_pack(chunk)  # scans + one pack
+            packed_arrays = upack.try_pack(chunk)  # fused scan + one pack
+        elif kind == "d":
+            from ..ops import upack
+
+            packed_arrays = upack.pack_delta(chunk)
         if packed_arrays is not None:
             wire, payload = packed_arrays
             if wire[0] == "r":
@@ -1128,7 +1264,18 @@ class BatchPipeline:
             wire = None
             up = chunk.astype(np.int16) if self.bps <= 16 else chunk
             payload = (up,)
+        if self.async_compile and not self._wire_ready(wire):
+            # compile the fresh variant off-thread; ship THIS batch on a
+            # warm wire so the stream never stalls on a compile
+            self._start_warm(wire, payload)
+            wire, payload = self._fallback_wire(chunk)
         upload_bytes = sum(a.nbytes for a in payload)
+        # actual kind used (try_pack may fall back to raw) — incumbent
+        # for the next racer decision, attribution key for drain gaps
+        self._wire_kind = (
+            "raw" if wire is None else ("d" if wire[0] == "d" else "pack")
+        )
+        self.upload_pack = wire is not None
         self.wire_counts[wire] = self.wire_counts.get(wire, 0) + 1
         if self.strict_lpc:
             # strict host arrays are expensive: keep the whole chain on
@@ -1150,7 +1297,8 @@ class BatchPipeline:
                 [nums, np.zeros(chunk.shape[0] - len(nums), nums.dtype)]
             )
         self._in_flight.append(
-            (fut, chunk, nums, len(blocks_list), rate, cookie, upload_bytes)
+            (fut, chunk, nums, len(blocks_list), rate, cookie, upload_bytes,
+             self._wire_kind)
         )
         self.max_inflight = max(self.max_inflight, len(self._in_flight))
         if len(self._in_flight) >= self.depth:
@@ -1163,7 +1311,7 @@ class BatchPipeline:
         import time as _time
 
         saturated = len(self._in_flight) >= 2
-        fut, chunk, nums, n_valid, rate, cookie, up_bytes = (
+        fut, chunk, nums, n_valid, rate, cookie, up_bytes, wire_kind = (
             self._in_flight.pop(0)
         )
         t0 = _time.perf_counter()
@@ -1171,8 +1319,8 @@ class BatchPipeline:
         t1 = _time.perf_counter()
         if self._last_drain is not None and saturated:
             # steady-state completion gap = bottleneck stage time; feeds
-            # the rolling link estimate (see LinkEstimator)
-            _LINK_EST.update(up_bytes, t1 - self._last_drain)
+            # the drained batch's wire kind in the racer (LinkEstimator)
+            _LINK_EST.update(up_bytes, t1 - self._last_drain, wire_kind)
         self._last_drain = t1
         batch_frames = self.assemble(
             enc, chunk, nums, self.cfg, self.nch, self.bps,
@@ -1188,6 +1336,8 @@ class BatchPipeline:
 
     def close(self):
         self._pool.shutdown(wait=False)
+        if self._compile_pool is not None:
+            self._compile_pool.shutdown(wait=False)
 
 
 def _auto_mesh(mesh, batch_size: int):
@@ -1243,11 +1393,11 @@ def encode_with_fixed_block_size(
     Blocks are independent, so sharding changes throughput, never bytes.
 
     `upload_pack`: "env" (default) consults FLACENC_PACKED_UPLOAD
-    ("1" on, "0" off, unset = adaptive: a rolling effective-bandwidth
-    estimate enables the delta wire format — per-batch order 1/2, width
-    8-12 — on slow links and may flip it between any two batches); True
-    forces it (raises if bps/block size are ineligible); False uploads
-    raw PCM. The wire format never changes output bytes.
+    ("1" forces the dense packed wire, "0" raw, "d" the delta16 wire,
+    unset = adaptive: the per-wire-format racer measures each format's
+    steady-state batch gap and may flip between any two batches); True
+    forces the dense wire (raises if bps/block size are ineligible);
+    False uploads raw PCM. The wire format never changes output bytes.
     """
     import os as _os
 

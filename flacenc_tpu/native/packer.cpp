@@ -972,6 +972,74 @@ void flacenc_scan_rice(
     }
 }
 
+// ---- fused wire scan --------------------------------------------------
+// Everything the host needs to choose an upload wire, in ONE pass:
+// per-row rice partial sums S[r][o-1][p] = sum_t (zigzag(delta_o)[t]>>p)
+// (o in {1,2}, p in 0..17) AND the batch-global d1/d2 min/max for the
+// fixed-width format. Row-sized scratch buffers keep every inner loop
+// unit-stride so g++ autovectorizes them (AVX-512 on typical hosts) —
+// the scalar per-sample chain of scan_upload + scan_rice cost ~22 ms
+// per 256-block stereo batch on a single-core 2.1 GHz host; this fused
+// pass measures a few ms. Exact for arbitrary int32 input (wrapping
+// deltas; z >> p sums over T <= 2^20 fit int64).
+void flacenc_scan_wire(
+    const int32_t* x, int64_t rows, int64_t T,
+    int64_t* sums /* rows*2*18 */, int32_t* mm /* [lo1,hi1,lo2,hi2] */) {
+    const int NP = 18;
+    mm[0] = mm[1] = mm[2] = mm[3] = 0;
+    if (T < 1) return;
+    std::vector<int32_t> d1v((size_t)T);
+    std::vector<uint32_t> z1v((size_t)T), z2v((size_t)T);
+    int32_t* d1 = d1v.data();
+    uint32_t* z1 = z1v.data();
+    uint32_t* z2 = z2v.data();
+    int32_t lo1 = 0, hi1 = 0, lo2 = 0, hi2 = 0;
+    for (int64_t r = 0; r < rows; ++r) {
+        const int32_t* xr = x + r * T;
+        // d1/d2 + zigzag + min/max, all unit-stride elementwise over t
+        // (ternary min/max and zigzag vectorize; the branchy form stalls)
+        d1[0] = 0;
+        z1[0] = 0;
+        uint32_t zmax1 = 0, zmax2 = 0;
+        for (int64_t t = 1; t < T; ++t) {
+            int32_t d = (int32_t)((uint32_t)xr[t] - (uint32_t)xr[t - 1]);
+            d1[t] = d;
+            lo1 = d < lo1 ? d : lo1;
+            hi1 = d > hi1 ? d : hi1;
+            uint32_t z = (uint32_t)((d << 1) ^ (d >> 31));
+            z1[t] = z;
+            zmax1 = z > zmax1 ? z : zmax1;
+        }
+        z2[0] = 0;
+        if (T > 1) z2[1] = 0;
+        for (int64_t t = 2; t < T; ++t) {
+            int32_t d = (int32_t)((uint32_t)d1[t] - (uint32_t)d1[t - 1]);
+            lo2 = d < lo2 ? d : lo2;
+            hi2 = d > hi2 ? d : hi2;
+            uint32_t z = (uint32_t)((d << 1) ^ (d >> 31));
+            z2[t] = z;
+            zmax2 = z > zmax2 ? z : zmax2;
+        }
+        int64_t* s1 = sums + r * 2 * NP;
+        int64_t* s2 = s1 + NP;
+        // per-p vectorized reductions; once z>>p is all-zero every larger
+        // p is too, so stop at the bit length of the row max
+        for (int p = 0; p < NP; ++p) {
+            if ((zmax1 >> p) == 0) { for (; p < NP; ++p) s1[p] = 0; break; }
+            uint64_t acc = 0;
+            for (int64_t t = 0; t < T; ++t) acc += z1[t] >> p;
+            s1[p] = (int64_t)acc;
+        }
+        for (int p = 0; p < NP; ++p) {
+            if ((zmax2 >> p) == 0) { for (; p < NP; ++p) s2[p] = 0; break; }
+            uint64_t acc = 0;
+            for (int64_t t = 0; t < T; ++t) acc += z2[t] >> p;
+            s2[p] = (int64_t)acc;
+        }
+    }
+    mm[0] = lo1; mm[1] = hi1; mm[2] = lo2; mm[3] = hi2;
+}
+
 // pack at fixed (order, p): lo plane (rows x T*p/32 words) + unary
 // substream (rows x Wu words, zero-padded). Returns 0 if any row's
 // unary bits overflow Wu*32 (caller falls back), else 1.

@@ -22,13 +22,24 @@ one bits before it, so quotients are a cumsum + scatter-add — no
 sequential bit cursor, no data-dependent shapes. On the bench corpus
 this lands at ~1.25 B/sample where the best fixed width is 1.5.
 
-`try_pack` chooses per batch: C++ single-pass scans measure the delta
-ranges (`native.scan_upload`) and per-rice-parameter cost sums
-(`native.scan_rice`); the SMALLEST wire wins, with raw fallback when
-nothing beats int16 (full-scale noise). Each wire tuple is one jit
-program variant (the pipeline keeps rice Wu budgets sticky so variants
-stay few); the numpy implementations here are the portable fallback and
-the parity oracle for the C++ passes.
+("d", order) — delta16: the deltas shipped as PLAIN int16 — same
+nominal bytes as raw PCM but far more transport-compressible (tunneled
+device transports compress payloads, and tonal deltas are
+small-magnitude) at near-zero host CPU: two vectorized numpy diffs, no
+scan, no bit packing, and NO fallback (wrapping int16 deltas
+reconstruct exactly for bps <= 16 — mod-2^16 equality is equality when
+the true sample fits int16).
+
+`try_pack` chooses between the dense formats per batch: ONE fused C++
+scan pass (`native.scan_wire`) measures the delta ranges and
+per-rice-parameter cost sums together; the SMALLEST wire wins, with
+raw fallback when nothing beats int16 (full-scale noise). The choice
+among {raw, delta16, dense} belongs to the pipeline's per-format racer
+(`models.batch_encoder.LinkEstimator`), which measures each format's
+actual steady-state batch gap. Each wire tuple is one jit program
+variant (the pipeline keeps rice Wu budgets sticky so variants stay
+few); the numpy implementations here are the portable fallback and the
+parity oracle for the C++ passes.
 
 Measured on the HTTP-tunneled v5e link (round 3): the transport itself
 compresses payloads (~3.5x faster for zeros than for random bytes), so
@@ -73,6 +84,23 @@ def _deltas(x: np.ndarray, order: int) -> np.ndarray:
         d = nxt
     d[..., :order] = 0
     return d
+
+
+def width_from_minmax(lo1: int, hi1: int, lo2: int, hi2: int,
+                      T: int) -> Optional[Tuple[int, int]]:
+    """Narrowest fitting (order, width) from precomputed delta ranges
+    (the selection rules of `scan`, applied to `native.scan_wire`'s
+    min/max output); ties prefer lower order."""
+    best = None
+    for order, lo, hi in ((1, lo1, hi1), (2, lo2, hi2)):
+        for w in WIDTHS:
+            if (T * w) % 32 != 0:
+                continue
+            if lo >= -(1 << (w - 1)) and hi <= (1 << (w - 1)) - 1:
+                if best is None or w < best[1]:
+                    best = (order, w)
+                break
+    return best
 
 
 def scan(chunk: np.ndarray) -> Optional[Tuple[int, int]]:
@@ -236,6 +264,37 @@ def pack_rice(chunk: np.ndarray, order: int, p: int, wu: int):
     return lo, unary, firsts
 
 
+def pack_delta(chunk: np.ndarray, order: int = 2):
+    """The ("d", order) wire: order-`order` wrapping deltas shipped as
+    PLAIN int16 — same nominal bytes as raw PCM but far more
+    transport-compressible (tonal material's deltas are small-magnitude,
+    and HTTP-tunneled device transports compress payloads), at near-zero
+    host CPU (two vectorized numpy diffs; no scan, no bit packing, no
+    fallback — wrapping int16 deltas reconstruct EXACTLY for bps <= 16
+    because mod-2^16 equality is equality when the true x fits int16).
+    Returns (wire, (deltas int16, firsts int32))."""
+    x = chunk.astype(np.int16)
+    d = x
+    for _ in range(order):
+        nxt = np.zeros_like(d)
+        nxt[..., 1:] = d[..., 1:] - d[..., :-1]  # int16 wraps (C semantics)
+        d = nxt
+    d[..., :order] = 0
+    firsts = np.zeros(x.shape[:-1] + (2,), np.int32)
+    firsts[..., 0] = x[..., 0]
+    firsts[..., 1] = x[..., 1] if x.shape[-1] > 1 else x[..., 0]
+    return ("d", order), (d, firsts)
+
+
+def unpack_delta(d: jnp.ndarray, firsts: jnp.ndarray, T: int,
+                 order: int) -> jnp.ndarray:
+    """Device-side inverse of `pack_delta`: int32 reconstruction of the
+    sign-extended wrapped int16 deltas is congruent to x mod 2^16, so a
+    final wrap-to-int16 recovers x exactly (|x| < 2^15)."""
+    v = _reconstruct(d.astype(jnp.int32), firsts, T, order)
+    return ((v & jnp.int32(0xFFFF)) ^ jnp.int32(0x8000)) - jnp.int32(0x8000)
+
+
 def try_pack(chunk: np.ndarray):
     """Adaptive one-call pack: (wire, payload) or None (upload raw).
 
@@ -243,19 +302,23 @@ def try_pack(chunk: np.ndarray):
     matching array tuple — (words, firsts) or (lo, unary, firsts). The
     SMALLEST wire wins: fixed width when the data is near-incompressible,
     rice when entropy coding pays (usually everything musical).
-    Fast path: C++ single-pass scans + packs (GIL released); numpy
-    oracle fallback otherwise."""
+    Fast path: ONE fused C++ scan pass (`native.scan_wire`) + C++ pack
+    (GIL released); numpy oracle fallback otherwise."""
     from .. import native
 
     T = chunk.shape[-1]
     rows = chunk.size // T if T else 0
     if rows == 0 or T < 2:
         return None
-    fmt = native.scan_upload(chunk)
-    use_native = fmt is not NotImplemented
-    if not use_native:
+    fused = native.scan_wire(chunk)
+    use_native = fused is not NotImplemented
+    if use_native:
+        sums, mm = fused
+        fmt = width_from_minmax(int(mm[0]), int(mm[1]), int(mm[2]),
+                                int(mm[3]), T)
+    else:
         fmt = scan(chunk)
-    sums = native.scan_rice(chunk) if use_native else scan_rice_np(chunk)
+        sums = scan_rice_np(chunk)
     width_bytes = None
     if fmt is not None:
         order, width = fmt

@@ -335,6 +335,12 @@ def one_upload_case(seed: int, block_size: int = 512) -> None:
         cfg, src(), block_size, batch_size=4, upload_pack=True,
     ).to_bytes()
     assert packed == raw, f"packed-upload bytes diverged (seed={seed})"
+    # the ("d", order) delta16 wire has no fallback: every case covers it
+    delta = be.encode_with_fixed_block_size(
+        cfg, src(), block_size, batch_size=4, upload_pack="delta",
+    ).to_bytes()
+    assert delta == raw, f"delta-wire bytes diverged (seed={seed})"
+    one_upload_case.formats_seen.add(("d", 2))
     assert np.array_equal(decode_stream(parse_stream(raw)), interleaved)
 
 
