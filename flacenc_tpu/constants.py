@@ -45,13 +45,17 @@ class par:
     ``FRAMEBUF_MULTIPLICITY`` maps to the number of in-flight host->device
     batches in the pipelined encoder. The reference double-buffers per
     worker thread; on high-latency transports deeper pipelining hides the
-    round trips (measured ~1.6x at depth 4 on the HTTP-tunneled TPU), so
-    the default is 4 (override with FLACENC_PIPELINE_DEPTH).
+    round trips — each decisions fetch is a full ~70 ms transport round
+    trip, and the steady-state batch gap is round_trip/concurrent_fetches,
+    so depth 8 with 6 fetch threads measured the best end-to-end on the
+    tunneled v5e (177x -> 237x over depth 4 x 2 threads in the same link
+    window; the gap estimate dropped to ~21 ms/batch). Override with
+    FLACENC_PIPELINE_DEPTH.
     """
 
     import os as _os
 
-    FRAMEBUF_MULTIPLICITY = int(_os.environ.get("FLACENC_PIPELINE_DEPTH", "4"))
+    FRAMEBUF_MULTIPLICITY = int(_os.environ.get("FLACENC_PIPELINE_DEPTH", "8"))
 
 
 class qlpc:

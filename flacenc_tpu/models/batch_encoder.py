@@ -1082,7 +1082,14 @@ class BatchPipeline:
         self._in_flight: List[tuple] = []
         self._last_drain: Optional[float] = None
         self.depth = constants.par.FRAMEBUF_MULTIPLICITY
-        self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
+        # one io thread per outstanding fetch (minus the slots still
+        # uploading/executing): each decisions fetch is a full transport
+        # round trip, so concurrent fetches divide the ~70 ms latency —
+        # the steady-state gap is round_trip/workers until bandwidth or
+        # host CPU binds (measured: 2 workers ~48 ms/batch, 6 ~21 ms)
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=max(2, self.depth - 2)
+        )
         # background wire-variant compilation (auto mode): a fresh wire's
         # first jit costs ~tens of seconds on remote-compile backends —
         # paid inline it stalls the stream AND poisons the racer's gap

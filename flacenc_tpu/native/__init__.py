@@ -9,9 +9,24 @@ the Python component serializer when the shared library cannot be built.
 from __future__ import annotations
 
 import ctypes
+import threading
 from typing import List, Optional, Tuple
 
 import numpy as np
+
+# Reusable per-thread output buffer for pack_frames_recompute: a fresh
+# ~10 MB np.empty per batch costs several ms of page faults INSIDE the
+# C++ pack (first touch of every 4 KB page); reusing keeps the pages hot.
+# Thread-local because the packer may run concurrently from io threads.
+_pack_scratch = threading.local()
+
+
+def _scratch_out(capacity: int) -> np.ndarray:
+    buf = getattr(_pack_scratch, "out", None)
+    if buf is None or buf.size < capacity:
+        buf = np.empty(capacity, dtype=np.uint8)
+        _pack_scratch.out = buf
+    return buf
 
 _lib = None
 _load_error: Optional[Exception] = None
@@ -93,7 +108,7 @@ def pack_frames(
     frame_numbers = np.ascontiguousarray(frame_numbers, dtype=np.int64)
 
     capacity = F * (64 + C * (T * 5 + 64))
-    out = np.empty(capacity, dtype=np.uint8)
+    out = _scratch_out(capacity)
     sizes = np.zeros(F, dtype=np.int64)
     total = lib.flacenc_pack_frames(
         _ptr(signal, ctypes.c_int32), _ptr(errors, ctypes.c_int32),
@@ -170,7 +185,7 @@ def pack_frames_recompute(
     frame_numbers = np.ascontiguousarray(frame_numbers, dtype=np.int64)
 
     capacity = F * (64 + C * (T * 5 + 64))
-    out = np.empty(capacity, dtype=np.uint8)
+    out = _scratch_out(capacity)
     sizes = np.zeros(F, dtype=np.int64)
     total = lib.flacenc_pack_frames_recompute(
         _ptr(blocks, ctypes.c_int32), _ptr(assign, ctypes.c_int32),

@@ -213,8 +213,19 @@ static inline void write_subframe(
         const int rp1 = (int)rice_p + 1;
         for (int t = start; t < offset; ++t) {
             const uint32_t z = zigzag(err[t]);
-            w.put_zeros(z >> rice_p);
-            w.put((z & (startbit - 1)) | startbit, rp1);
+            const uint32_t q = z >> rice_p;
+            // one put per sample: the q unary zeros followed by the
+            // (p+1)-bit terminator+remainder ARE a single (q+p+1)-bit
+            // value whose top q bits are zero — half the BitWriter
+            // calls of the zeros+value pair (put() takes n <= 56)
+            const uint64_t v = (uint64_t)((z & (startbit - 1)) | startbit);
+            const int n = (int)q + rp1;
+            if (__builtin_expect(n <= 56, 1)) {
+                w.put(v, n);
+            } else {  // pathological unary runs
+                w.put_zeros(q);
+                w.put(v, rp1);
+            }
         }
     }
 }

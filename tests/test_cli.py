@@ -218,8 +218,9 @@ def test_cli_encode_streams_bounded_memory(tmp_path):
         tracemalloc.stop()
     assert rc == 0
     in_bytes = os.path.getsize(tmp_path / "big.wav")
-    # depth x batch window + assembled frames (measured ~19-25 MB,
-    # jitters with pipeline timing); a MemSource slurp holds input +
-    # int32 deinterleave + window + output, i.e. >= 2x the input on the
-    # Python heap — 1.25x input separates the two regimes cleanly
-    assert peak < in_bytes * 1.25, (peak, in_bytes)
+    # depth x batch window + assembled frames (measured ~19-25 MB at
+    # depth 4, ~25-33 MB at the default depth 8; jitters with pipeline
+    # timing); a MemSource slurp holds input + int32 deinterleave +
+    # window + output, i.e. >= 2x the input on the Python heap — 1.6x
+    # input still separates the two regimes cleanly
+    assert peak < in_bytes * 1.6, (peak, in_bytes)
