@@ -389,13 +389,18 @@ def scan_rice(chunk: np.ndarray):
     return sums.reshape(x.shape[:-1] + (2, 18))
 
 
-def scan_wire(chunk: np.ndarray):
+def scan_wire(chunk: np.ndarray, stride: int = 1):
     """C++ FUSED wire scan — one pass over the batch returning both
     upload-wire statistics: ((rows, 2, 18) int64 rice partial sums,
     (4,) int32 [d1_min, d1_max, d2_min, d2_max]), or NotImplemented when
     the native library is unavailable. Replaces the separate
     `scan_upload` + `scan_rice` passes on the hot path (~3x less
-    single-core host CPU per batch); those remain exported as oracles."""
+    single-core host CPU per batch); those remain exported as oracles.
+
+    `stride` > 1 SAMPLES the rice partial sums (every stride-th sample;
+    UNSCALED — callers multiply by stride and pad the unary budget): the
+    per-p sum passes are most of the scan's cost and only steer the
+    (order, p) choice. The delta min/max stay exact regardless."""
     lib = _load()
     if lib is None or not hasattr(lib, "flacenc_scan_wire"):
         return NotImplemented
@@ -404,6 +409,7 @@ def scan_wire(chunk: np.ndarray):
         fn.restype = None
         fn.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ]
     x = np.ascontiguousarray(chunk, dtype=np.int32)
@@ -411,8 +417,8 @@ def scan_wire(chunk: np.ndarray):
     rows = x.size // T if T else 0
     sums = np.zeros((rows, 2, 18), np.int64)
     mm = np.zeros(4, np.int32)
-    fn(_ptr(x, ctypes.c_int32), rows, T, _ptr(sums, ctypes.c_int64),
-       _ptr(mm, ctypes.c_int32))
+    fn(_ptr(x, ctypes.c_int32), rows, T, stride,
+       _ptr(sums, ctypes.c_int64), _ptr(mm, ctypes.c_int32))
     return sums.reshape(x.shape[:-1] + (2, 18)), mm
 
 

@@ -994,11 +994,12 @@ void flacenc_scan_rice(
 // pass measures a few ms. Exact for arbitrary int32 input (wrapping
 // deltas; z >> p sums over T <= 2^20 fit int64).
 void flacenc_scan_wire(
-    const int32_t* x, int64_t rows, int64_t T,
+    const int32_t* x, int64_t rows, int64_t T, int64_t stride,
     int64_t* sums /* rows*2*18 */, int32_t* mm /* [lo1,hi1,lo2,hi2] */) {
     const int NP = 18;
     mm[0] = mm[1] = mm[2] = mm[3] = 0;
     if (T < 1) return;
+    if (stride < 1) stride = 1;
     std::vector<int32_t> d1v((size_t)T);
     std::vector<uint32_t> z1v((size_t)T), z2v((size_t)T);
     int32_t* d1 = d1v.data();
@@ -1008,7 +1009,9 @@ void flacenc_scan_wire(
     for (int64_t r = 0; r < rows; ++r) {
         const int32_t* xr = x + r * T;
         // d1/d2 + zigzag + min/max, all unit-stride elementwise over t
-        // (ternary min/max and zigzag vectorize; the branchy form stalls)
+        // (ternary min/max and zigzag vectorize; the branchy form stalls).
+        // min/max stay EXACT (full pass) — the fixed-width wire's field
+        // width must fit every delta or the pack silently clips.
         d1[0] = 0;
         z1[0] = 0;
         uint32_t zmax1 = 0, zmax2 = 0;
@@ -1033,18 +1036,32 @@ void flacenc_scan_wire(
         }
         int64_t* s1 = sums + r * 2 * NP;
         int64_t* s2 = s1 + NP;
+        // The sums only STEER the (order, p) choice and size the unary
+        // budget, so they may be SAMPLED (every `stride`-th sample,
+        // caller rescales) — the per-p passes are ~20/22 of this
+        // function's cost and the pack's own overflow check backstops an
+        // undersized budget. Sampling compacts the strided elements ONCE
+        // so every per-p reduction below stays unit-stride (a
+        // runtime-stride inner loop defeats autovectorization and costs
+        // MORE than the full scan).
+        int64_t n = T;
+        if (stride > 1) {
+            n = (T + stride - 1) / stride;
+            for (int64_t i = 0; i < n; ++i) z1[i] = z1[i * stride];
+            for (int64_t i = 0; i < n; ++i) z2[i] = z2[i * stride];
+        }
         // per-p vectorized reductions; once z>>p is all-zero every larger
         // p is too, so stop at the bit length of the row max
         for (int p = 0; p < NP; ++p) {
             if ((zmax1 >> p) == 0) { for (; p < NP; ++p) s1[p] = 0; break; }
             uint64_t acc = 0;
-            for (int64_t t = 0; t < T; ++t) acc += z1[t] >> p;
+            for (int64_t t = 0; t < n; ++t) acc += z1[t] >> p;
             s1[p] = (int64_t)acc;
         }
         for (int p = 0; p < NP; ++p) {
             if ((zmax2 >> p) == 0) { for (; p < NP; ++p) s2[p] = 0; break; }
             uint64_t acc = 0;
-            for (int64_t t = 0; t < T; ++t) acc += z2[t] >> p;
+            for (int64_t t = 0; t < n; ++t) acc += z2[t] >> p;
             s2[p] = (int64_t)acc;
         }
     }
@@ -1060,6 +1077,13 @@ int32_t flacenc_pack_rice(
     uint32_t* lo_words, uint32_t* unary_words, int32_t* firsts) {
     const int64_t Wl = T * p / 32;
     const uint32_t mask = p >= 32 ? ~0u : ((1u << p) - 1u);
+    // split passes: one vectorizable elementwise sweep builds the zigzag
+    // stream, then the low plane (byte/short stores for p in {8, 16},
+    // bit accumulation otherwise) and the unary scatter each run as
+    // tight dependence-free-as-possible loops — the fused per-sample
+    // form cost ~2x (branches on t<order + mixed serial chains)
+    std::vector<uint32_t> zv((size_t)T);
+    uint32_t* z = zv.data();
     for (int64_t r = 0; r < rows; ++r) {
         const int32_t* xr = x + r * T;
         uint32_t* lw = lo_words + r * Wl;
@@ -1067,38 +1091,49 @@ int32_t flacenc_pack_rice(
         for (int64_t i = 0; i < Wu; ++i) uw[i] = 0;
         firsts[r * 2 + 0] = xr[0];
         firsts[r * 2 + 1] = (T > 1) ? xr[1] : xr[0];
-        uint64_t lo_acc = 0;
-        int lo_nb = 0;
-        int64_t ubit = 0;
-        int32_t prev = xr[0], prevd = 0;
-        for (int64_t t = 0; t < T; ++t) {
-            uint32_t z = 0;
-            if (t < order) {
-                if (t == 1) { prevd = (int32_t)((uint32_t)xr[1] - (uint32_t)xr[0]); prev = xr[1]; }
-            } else {
-                int32_t d1 = (int32_t)((uint32_t)xr[t] - (uint32_t)prev);
-                prev = xr[t];
-                int32_t d = d1;
-                if (order == 2) {
-                    d = (int32_t)((uint32_t)d1 - (uint32_t)prevd);
-                    prevd = d1;
+        // zigzag(delta^order) sweep (z[0..order-1] = 0 by convention)
+        if (order == 1) {
+            z[0] = 0;
+            for (int64_t t = 1; t < T; ++t) {
+                int32_t d = (int32_t)((uint32_t)xr[t] - (uint32_t)xr[t - 1]);
+                z[t] = (uint32_t)((d << 1) ^ (d >> 31));
+            }
+        } else {
+            z[0] = 0;
+            if (T > 1) z[1] = 0;
+            for (int64_t t = 2; t < T; ++t) {
+                int32_t d = (int32_t)((uint32_t)xr[t] - 2u * (uint32_t)xr[t - 1]
+                                      + (uint32_t)xr[t - 2]);
+                z[t] = (uint32_t)((d << 1) ^ (d >> 31));
+            }
+        }
+        // low plane
+        if (p == 8) {
+            uint8_t* lb = (uint8_t*)lw;
+            for (int64_t t = 0; t < T; ++t) lb[t] = (uint8_t)z[t];
+        } else if (p == 16) {
+            uint16_t* ls = (uint16_t*)lw;
+            for (int64_t t = 0; t < T; ++t) ls[t] = (uint16_t)z[t];
+        } else if (p) {
+            uint64_t lo_acc = 0;
+            int lo_nb = 0;
+            for (int64_t t = 0; t < T; ++t) {
+                lo_acc |= (uint64_t)(z[t] & mask) << lo_nb;
+                lo_nb += p;
+                if (lo_nb >= 32) {
+                    *lw++ = (uint32_t)lo_acc;
+                    lo_acc >>= 32;
+                    lo_nb -= 32;
                 }
-                z = (uint32_t)((d << 1) ^ (d >> 31));
             }
-            // low plane
-            lo_acc |= (uint64_t)(z & mask) << lo_nb;
-            lo_nb += p;
-            if (lo_nb >= 32) {
-                *lw++ = (uint32_t)lo_acc;
-                lo_acc >>= 32;
-                lo_nb -= 32;
-            }
-            // unary plane: q zeros then a 1
-            uint32_t q = z >> p;
-            ubit += q;
-            if (ubit >= Wu * 32) return 0;
+        }
+        // unary plane: q zeros then a 1 per sample
+        const int64_t ucap = Wu * 32;
+        int64_t ubit = -1;
+        for (int64_t t = 0; t < T; ++t) {
+            ubit += (int64_t)(z[t] >> p) + 1;
+            if (ubit >= ucap) return 0;
             uw[ubit >> 5] |= 1u << (ubit & 31);
-            ++ubit;
         }
     }
     return 1;

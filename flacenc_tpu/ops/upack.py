@@ -198,14 +198,18 @@ def scan_rice_np(chunk: np.ndarray) -> np.ndarray:
     return out
 
 
-def rice_plan(sums: np.ndarray, T: int):
+def rice_plan(sums: np.ndarray, T: int, wu_margin: float = 1.0):
     """Chooses (order, p, Wu, wire_bytes) from scan_rice sums, or None.
 
     Exact accounting: lo plane rows*(T*p/32)*4 bytes + unary plane
     rows*Wu*4 (Wu = per-batch max row budget, bucketed for jit-key
-    stability) + firsts. p respects the T*p %% 32 == 0 layout rule."""
+    stability) + firsts. p respects the T*p %% 32 == 0 layout rule.
+    `wu_margin` > 1 pads the unary budget when `sums` came from a
+    SAMPLED scan (sampling noise on the max row; pack_rice still
+    overflow-checks the exact stream)."""
     flat = sums.reshape(-1, 2, _RICE_NP)
     R = flat.shape[0]
+    bucket = _wu_bucket(T)
     best = None
     for order in (1, 2):
         for p in range(_RICE_NP):
@@ -213,11 +217,18 @@ def rice_plan(sums: np.ndarray, T: int):
                 continue
             row_bits = flat[:, order - 1, p] + T  # unary bits per row
             wu = int(-(-int(row_bits.max()) // 32))
-            bucket = _wu_bucket(T)
             wu = -(-wu // bucket) * bucket
+            # rank formats by their UNPADDED cost (the margin would skew
+            # the choice toward large-p formats whose pad is smaller in
+            # absolute terms); only the winner's shipped budget is padded
             nbytes = R * ((T * p // 32) * 4 + wu * 4 + _FIRSTS_BYTES)
             if best is None or nbytes < best[3]:
                 best = (order, p, wu, nbytes)
+    if best is not None and wu_margin > 1.0:
+        order, p, wu, nbytes = best
+        pad = int(-(-int(wu * wu_margin) // bucket)) * bucket
+        best = (order, p, pad, R * ((T * p // 32) * 4 + pad * 4
+                                    + _FIRSTS_BYTES))
     return best
 
 
@@ -310,6 +321,11 @@ def try_pack(chunk: np.ndarray):
     rows = chunk.size // T if T else 0
     if rows == 0 or T < 2:
         return None
+    # NOTE: a sampled scan (scan_wire stride>1, ~2x cheaper host CPU) was
+    # measured and REJECTED for this path: the unary-budget pad it needs
+    # costs 3-12% wire bytes, and the rice wire is chosen precisely when
+    # the link (not host CPU) is the bottleneck — exact sums keep the
+    # wire minimal where it matters
     fused = native.scan_wire(chunk)
     use_native = fused is not NotImplemented
     if use_native:

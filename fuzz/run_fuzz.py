@@ -448,7 +448,7 @@ def main() -> int:
             # and a spread of rice parameters
             assert None in seen, "raw-fallback batches never exercised"
             kinds = {f[0] for f in seen if f}
-            assert kinds == {"r", "w"}, f"wire kinds covered: {kinds}"
+            assert kinds == {"r", "w", "d"}, f"wire kinds covered: {kinds}"
             orders = {f[1] for f in seen if f}
             assert orders == {1, 2}, f"delta orders covered: {orders}"
             rice_ps = {f[2] for f in seen if f and f[0] == "r"}
