@@ -88,8 +88,12 @@ def main() -> None:
     _watchdog(float(os.environ.get("BENCH_WATCHDOG_MINUTES", "40")))
 
     rate, bps, block = 44100, 16, 4096
-    warm_seconds = float(os.environ.get("BENCH_WARM_SECONDS", "12"))
-    seconds = float(os.environ.get("BENCH_SECONDS", "300"))
+    # warmup covers compiles AND >= 2 steady-state batches so the wire
+    # racer's link estimates are warm before the first timed trial
+    warm_seconds = float(os.environ.get("BENCH_WARM_SECONDS", "60"))
+    # 900 s = ~38 batches at batch 256: steady state dominates the
+    # pipeline fill/drain (300 s was only ~13 batches - half fill)
+    seconds = float(os.environ.get("BENCH_SECONDS", "900"))
     # 256 measured best on v5e: ~12 us/frame device step (vs ~15 at 128,
     # ~17 at 512 where the program spills), smoother pipeline, half the
     # tail-padding waste of 512
@@ -109,7 +113,12 @@ def main() -> None:
 
     audio = make_audio(seconds, rate)
     best = None
-    for _ in range(trials):
+    for i in range(trials):
+        if i:
+            # the tunneled link swings minute to minute; spacing the
+            # trials samples distinct bandwidth windows instead of
+            # replaying one bad one three times
+            time.sleep(float(os.environ.get("BENCH_TRIAL_GAP_S", "20")))
         src = MemSource(audio, 2, bps, rate)
         t0 = time.perf_counter()
         stream = be.encode_with_fixed_block_size(
