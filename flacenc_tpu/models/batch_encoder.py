@@ -1062,10 +1062,15 @@ class BatchPipeline:
         if upload_pack:
             from ..ops import upack as _upack
 
-            eligible = bps <= 16 and block_size % _upack.GROUP == 0
+            # dense/rice wires cover hi-res too (bps <= 24, raw int32
+            # otherwise); the delta16 wire's mod-2^16 reconstruction only
+            # holds for bps <= 16 (_delta_eligible below)
+            eligible = (bps <= _upack.MAX_PACK_BPS
+                        and block_size % _upack.GROUP == 0)
             if explicit_pack and not eligible:
                 raise ValueError(
-                    "upload_pack=True requires bits_per_sample <= 16 and a "
+                    "upload_pack=True requires bits_per_sample <= "
+                    f"{_upack.MAX_PACK_BPS} and a "
                     f"block size divisible by {_upack.GROUP} "
                     f"(got bps={bps}, block_size={block_size})"
                 )
@@ -1089,8 +1094,16 @@ class BatchPipeline:
                     if explicit_auto or not local:
                         self.upload_mode = "auto"
             elif eligible:
+                if upload_pack == "delta" and bps > 16:
+                    raise ValueError(
+                        "upload_pack='delta' requires bits_per_sample <= 16 "
+                        "(wrapped int16 deltas cannot represent hi-res "
+                        f"samples; got bps={bps})"
+                    )
                 self.upload_mode = "delta" if upload_pack == "delta" else "on"
         self._eligible_pack = eligible
+        # the delta16 wire reconstructs mod 2^16 — sound only for bps<=16
+        self._delta_eligible = eligible and bps <= 16
         # wire kind of the LAST submitted batch ("raw" | "d" | "pack");
         # auto mode's racer takes it as the incumbent
         self._wire_kind = {"on": "pack", "delta": "d"}.get(
@@ -1185,14 +1198,15 @@ class BatchPipeline:
         self._warming[wire] = self._compile_pool.submit(warm)
 
     def _prewarm(self, chunk) -> None:
-        """Start background compiles of the delta16 wire and the dense
-        wire the first batch's scan selects (one scan+pack to discover
-        the tuple; its ~10 ms host cost is one-time)."""
+        """Start background compiles of the delta16 wire (bps <= 16) and
+        the dense wire the first batch's scan selects (one scan+pack to
+        discover the tuple; its ~10 ms host cost is one-time)."""
         from ..ops import upack
 
-        dwire, dpayload = upack.pack_delta(chunk)
-        self._start_warm(dwire, dpayload)
-        packed = upack.try_pack(chunk)
+        if self._delta_eligible:
+            dwire, dpayload = upack.pack_delta(chunk)
+            self._start_warm(dwire, dpayload)
+        packed = upack.try_pack(chunk, self.bps)
         if packed is not None:
             wire, payload = packed
             if wire[0] == "r":  # pre-seed the sticky budget too
@@ -1203,7 +1217,7 @@ class BatchPipeline:
         """Best already-compiled wire while the chosen one compiles:
         the delta16 variant if warm, else raw PCM."""
         d_wire = ("d", 2)
-        if d_wire in self._fns:
+        if self._delta_eligible and d_wire in self._fns:
             from ..ops import upack
 
             return upack.pack_delta(chunk)
@@ -1243,8 +1257,9 @@ class BatchPipeline:
                 # drain gaps keep the per-wire estimates current and the
                 # verdict may flip between any two batches (bytes never
                 # change)
-                kind = _LINK_EST.choose(("raw", "d", "pack"),
-                                        self._wire_kind)
+                kinds = (("raw", "d", "pack") if self._delta_eligible
+                         else ("raw", "pack"))
+                kind = _LINK_EST.choose(kinds, self._wire_kind)
             elif self.upload_mode == "on":
                 kind = "pack"
             elif self.upload_mode == "delta":
@@ -1263,7 +1278,8 @@ class BatchPipeline:
         if kind == "pack":
             from ..ops import upack
 
-            packed_arrays = upack.try_pack(chunk)  # fused scan + one pack
+            # fused scan + one pack
+            packed_arrays = upack.try_pack(chunk, self.bps)
         elif kind == "d":
             from ..ops import upack
 

@@ -368,7 +368,7 @@ def pack_upload(chunk: np.ndarray, order: int, width: int):
 
 
 def scan_rice(chunk: np.ndarray):
-    """C++ single-pass rice-wire statistics: (rows, 2, 18) int64 partial
+    """C++ single-pass rice-wire statistics: (rows, 2, 26) int64 partial
     sums S[r][order-1][p] = sum_t(zigzag(delta_order)[t] >> p), or
     NotImplemented when the native library is unavailable."""
     lib = _load()
@@ -384,14 +384,14 @@ def scan_rice(chunk: np.ndarray):
     x = np.ascontiguousarray(chunk, dtype=np.int32)
     T = x.shape[-1]
     rows = x.size // T if T else 0
-    sums = np.zeros((rows, 2, 18), np.int64)
+    sums = np.zeros((rows, 2, 26), np.int64)
     fn(_ptr(x, ctypes.c_int32), rows, T, _ptr(sums, ctypes.c_int64))
-    return sums.reshape(x.shape[:-1] + (2, 18))
+    return sums.reshape(x.shape[:-1] + (2, 26))
 
 
 def scan_wire(chunk: np.ndarray, stride: int = 1):
     """C++ FUSED wire scan — one pass over the batch returning both
-    upload-wire statistics: ((rows, 2, 18) int64 rice partial sums,
+    upload-wire statistics: ((rows, 2, 26) int64 rice partial sums,
     (4,) int32 [d1_min, d1_max, d2_min, d2_max]), or NotImplemented when
     the native library is unavailable. Replaces the separate
     `scan_upload` + `scan_rice` passes on the hot path (~3x less
@@ -415,11 +415,11 @@ def scan_wire(chunk: np.ndarray, stride: int = 1):
     x = np.ascontiguousarray(chunk, dtype=np.int32)
     T = x.shape[-1]
     rows = x.size // T if T else 0
-    sums = np.zeros((rows, 2, 18), np.int64)
+    sums = np.zeros((rows, 2, 26), np.int64)
     mm = np.zeros(4, np.int32)
     fn(_ptr(x, ctypes.c_int32), rows, T, stride,
        _ptr(sums, ctypes.c_int64), _ptr(mm, ctypes.c_int32))
-    return sums.reshape(x.shape[:-1] + (2, 18)), mm
+    return sums.reshape(x.shape[:-1] + (2, 26)), mm
 
 
 def pack_rice(chunk: np.ndarray, order: int, p: int, wu: int):

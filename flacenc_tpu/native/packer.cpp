@@ -890,10 +890,11 @@ int32_t flacenc_scan_upload(
         }
     }
     // odd widths need T % 32 == 0 (their bit-group spans 32 samples);
-    // even widths need only T % 16 == 0 (the caller's eligibility gate)
-    static const int32_t kWidths[5] = {8, 9, 10, 11, 12};
+    // even widths need only T % 16 == 0 (the caller's eligibility gate).
+    // Must mirror ops/upack.WIDTHS (14-20 serve hi-res bps 17..24).
+    static const int32_t kWidths[9] = {8, 9, 10, 11, 12, 14, 16, 18, 20};
     int32_t w1 = 99, w2 = 99;
-    for (int i = 4; i >= 0; --i) {
+    for (int i = 8; i >= 0; --i) {
         int32_t w = kWidths[i];
         if ((T * w) % 32 != 0) continue;
         int32_t s = 1 << (w - 1);
@@ -956,12 +957,12 @@ void flacenc_pack_upload(
 // with a cumsum + scatter-add — no sequential bit cursor.
 
 // scan: per-row partial sums S[r][o-1][p] = sum_t (z_o[t] >> p) for
-// o in {1,2}, p in 0..17 — everything the host needs to choose
+// o in {1,2}, p in 0..25 — everything the host needs to choose
 // (order, p) and size the unary budget without a second data pass.
 void flacenc_scan_rice(
     const int32_t* x, int64_t rows, int64_t T,
     int64_t* sums /* rows * 2 * 18 */) {
-    const int NP = 18;
+    const int NP = 26;
     for (int64_t r = 0; r < rows; ++r) {
         const int32_t* xr = x + r * T;
         int64_t* s1 = sums + r * 2 * NP;
@@ -986,7 +987,7 @@ void flacenc_scan_rice(
 // ---- fused wire scan --------------------------------------------------
 // Everything the host needs to choose an upload wire, in ONE pass:
 // per-row rice partial sums S[r][o-1][p] = sum_t (zigzag(delta_o)[t]>>p)
-// (o in {1,2}, p in 0..17) AND the batch-global d1/d2 min/max for the
+// (o in {1,2}, p in 0..25) AND the batch-global d1/d2 min/max for the
 // fixed-width format. Row-sized scratch buffers keep every inner loop
 // unit-stride so g++ autovectorizes them (AVX-512 on typical hosts) —
 // the scalar per-sample chain of scan_upload + scan_rice cost ~22 ms
@@ -996,7 +997,7 @@ void flacenc_scan_rice(
 void flacenc_scan_wire(
     const int32_t* x, int64_t rows, int64_t T, int64_t stride,
     int64_t* sums /* rows*2*18 */, int32_t* mm /* [lo1,hi1,lo2,hi2] */) {
-    const int NP = 18;
+    const int NP = 26;
     mm[0] = mm[1] = mm[2] = mm[3] = 0;
     if (T < 1) return;
     if (stride < 1) stride = 1;

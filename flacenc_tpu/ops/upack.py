@@ -9,9 +9,11 @@ bytes NEVER depend on the wire (wrapping int32 semantics match numpy's
 diff bit for bit).
 
 ("w", order, width) — fixed-width: little-endian `width`-bit
-two's-complement fields, width in {8, 9, 10, 11, 12} (odd widths need
-T %% 32 == 0). Decode = static shifts + cumsum(s). Width 16 is absent
-by design: it would equal the raw int16 upload.
+two's-complement fields, width in {8..12, 14, 16, 18, 20} (odd widths
+need T %% 32 == 0). Decode = static shifts + cumsum(s). The widths
+above 12 only matter for hi-res input (bps 17..24, which would
+otherwise upload raw int32 at 4 B/sample); for bps <= 16 `try_pack`
+rejects any format that does not beat the plain int16 upload.
 
 ("r", order, p, Wu) — rice-coded (entropy): zigzag z of the deltas
 splits into a fixed p-bit low plane (same field layout) and a unary
@@ -58,13 +60,24 @@ from . import jax_env  # noqa: F401
 import jax.numpy as jnp
 import numpy as np
 
-WIDTHS = (8, 9, 10, 11, 12)  # allowed field widths, narrowest first
+# allowed field widths, narrowest first: 8-12 cover 16-bit material;
+# 14-20 cover hi-res (bps <= 24) deltas, which would otherwise fall back
+# to the raw int32 upload at 4 B/sample (width 16 is meaningful ONLY
+# there — for bps <= 16 it would equal the raw int16 upload and the
+# size comparison in try_pack rejects it)
+WIDTHS = (8, 9, 10, 11, 12, 14, 16, 18, 20)
 ORDERS = (1, 2)              # allowed delta orders
 # sample-count divisibility for block sizes: even widths' bit-groups
 # divide 16 samples, so T % 16 == 0 is the eligibility gate; the odd
 # widths (9, 11) additionally require T % 32 == 0 and are skipped by
 # scan() otherwise
 GROUP = 16
+# widest PCM the packed wires accept: deltas of bps-bit samples span
+# bps+2 bits, and the rice zigzag must fit uint32 on both sides of the
+# wire (26-bit deltas -> 27-bit z); the reference's own bps ceiling is
+# 25 (verify.rs bps rule), so 24-bit input + the +1 side-channel bit
+# stays in range while 32-bit raw int32 uploads stay raw
+MAX_PACK_BPS = 24
 
 
 def words_per_block(T: int, width: int) -> int:
@@ -169,7 +182,7 @@ def pack(chunk: np.ndarray, order: int, width: int) -> Tuple[np.ndarray, np.ndar
 # quotient is the count of zero bits between the (t-1)-th and t-th one
 # bits, i.e. a cumsum + scatter-add over the (static) bit array.
 
-_RICE_NP = 18   # candidate rice parameters 0..17 (z fits 19 bits)
+_RICE_NP = 26   # candidate rice parameters 0..25 (24-bit deltas -> 27-bit z)
 _FIRSTS_BYTES = 8  # per-row int32 x2
 
 
@@ -187,7 +200,7 @@ def _zigzag(d: np.ndarray) -> np.ndarray:
 
 
 def scan_rice_np(chunk: np.ndarray) -> np.ndarray:
-    """numpy oracle for `native.scan_rice`: (..., 2, 18) int64 partial
+    """numpy oracle for `native.scan_rice`: (..., 2, 26) int64 partial
     sums S[..., order-1, p] = sum_t(zigzag(delta_order)[t] >> p)."""
     x = chunk.astype(np.int32)
     out = np.zeros(x.shape[:-1] + (2, _RICE_NP), np.int64)
@@ -306,17 +319,21 @@ def unpack_delta(d: jnp.ndarray, firsts: jnp.ndarray, T: int,
     return ((v & jnp.int32(0xFFFF)) ^ jnp.int32(0x8000)) - jnp.int32(0x8000)
 
 
-def try_pack(chunk: np.ndarray):
+def try_pack(chunk: np.ndarray, bps: int = 16):
     """Adaptive one-call pack: (wire, payload) or None (upload raw).
 
     wire is ("w", order, width) or ("r", order, p, Wu); payload is the
     matching array tuple — (words, firsts) or (lo, unary, firsts). The
     SMALLEST wire wins: fixed width when the data is near-incompressible,
-    rice when entropy coding pays (usually everything musical).
+    rice when entropy coding pays (usually everything musical), raw when
+    nothing beats the plain upload (int16 for bps <= 16, int32 above —
+    hi-res content is where the wide widths 14-20 earn their keep).
     Fast path: ONE fused C++ scan pass (`native.scan_wire`) + C++ pack
     (GIL released); numpy oracle fallback otherwise."""
     from .. import native
 
+    if bps > MAX_PACK_BPS:
+        return None
     T = chunk.shape[-1]
     rows = chunk.size // T if T else 0
     if rows == 0 or T < 2:
@@ -335,12 +352,16 @@ def try_pack(chunk: np.ndarray):
     else:
         fmt = scan(chunk)
         sums = scan_rice_np(chunk)
+    raw_bytes = rows * T * (2 if bps <= 16 else 4)
     width_bytes = None
     if fmt is not None:
         order, width = fmt
         width_bytes = rows * ((T * width // 32) * 4 + _FIRSTS_BYTES)
+        if width_bytes >= raw_bytes:
+            # a wide field can lose to the plain upload (e.g. 16-bit
+            # noise whose order-2 deltas need 18 bits)
+            fmt = width_bytes = None
     rice = rice_plan(np.asarray(sums), T)
-    raw_bytes = rows * T * 2  # int16 upload (bps <= 16 eligibility)
     if rice is not None and rice[3] >= raw_bytes:
         rice = None
     if rice is not None and (width_bytes is None or rice[3] < width_bytes):

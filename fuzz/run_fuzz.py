@@ -284,7 +284,10 @@ def one_upload_case(seed: int, block_size: int = 512) -> None:
     rng = np.random.default_rng(seed)
     channels = 2 if rng.integers(0, 2) else 1
     signal_len = int(rng.integers(1, 6 * block_size))
-    bps = 16
+    # ~1/4 of cases exercise hi-res PCM: the wide widths (14-20) and
+    # high rice parameters only fire there (bps 17-24 otherwise uploads
+    # raw int32); the delta16 wire stays bps <= 16 (mod-2^16 decode)
+    bps = int(rng.choice([16, 16, 16, 20, 24]))
     # amplitude scaling sweeps the delta magnitude so the scan lands on
     # every width tier (and on raw for full-scale content)
     shift = int(rng.integers(0, 9))
@@ -311,7 +314,8 @@ def one_upload_case(seed: int, block_size: int = 512) -> None:
             # and the multi-program path)
             a = int(rng.integers(0, signal_len))
             b = int(rng.integers(a, signal_len))
-            x[a:b] = rng.integers(-32768, 32768, b - a, dtype=np.int64)
+            full = 1 << (bps - 1)
+            x[a:b] = rng.integers(-full, full, b - a, dtype=np.int64)
         interleaved[ch::channels] = x
     # record which wire each 4-block batch would select (coverage
     # witness): None (raw), ("w", order, width), or ("r", order, p, Wu)
@@ -321,7 +325,8 @@ def one_upload_case(seed: int, block_size: int = 512) -> None:
             :, i * block_size:(i + 4) * block_size
         ]
         if blocks.shape[1] and blocks.shape[1] % block_size == 0:
-            out = upack.try_pack(blocks.reshape(channels, -1, block_size))
+            out = upack.try_pack(blocks.reshape(channels, -1, block_size),
+                                 bps)
             one_upload_case.formats_seen.add(out[0] if out else None)
     # default config only: this tier tests WIRE transparency, and every
     # (config, wire) pair is a fresh jit compile — config interplay is
@@ -335,12 +340,24 @@ def one_upload_case(seed: int, block_size: int = 512) -> None:
         cfg, src(), block_size, batch_size=4, upload_pack=True,
     ).to_bytes()
     assert packed == raw, f"packed-upload bytes diverged (seed={seed})"
-    # the ("d", order) delta16 wire has no fallback: every case covers it
-    delta = be.encode_with_fixed_block_size(
-        cfg, src(), block_size, batch_size=4, upload_pack="delta",
-    ).to_bytes()
-    assert delta == raw, f"delta-wire bytes diverged (seed={seed})"
-    one_upload_case.formats_seen.add(("d", 2))
+    if bps <= 16:
+        # the ("d", order) delta16 wire has no fallback: every 16-bit
+        # case covers it (hi-res input must REJECT it instead)
+        delta = be.encode_with_fixed_block_size(
+            cfg, src(), block_size, batch_size=4, upload_pack="delta",
+        ).to_bytes()
+        assert delta == raw, f"delta-wire bytes diverged (seed={seed})"
+        one_upload_case.formats_seen.add(("d", 2))
+    else:
+        try:
+            be.encode_with_fixed_block_size(
+                cfg, src(), block_size, batch_size=4, upload_pack="delta",
+            )
+            raise AssertionError(
+                f"delta wire accepted bps={bps} (seed={seed})"
+            )
+        except ValueError:
+            pass
     assert np.array_equal(decode_stream(parse_stream(raw)), interleaved)
 
 

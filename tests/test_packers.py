@@ -178,21 +178,37 @@ def test_upack_roundtrip_exact():
     y = np.asarray(jax.jit(lambda w, f: upack.unpack(w, f, 32, 1, 8))(w, f))
     assert np.array_equal(y, ext)
 
-    # full-scale noise fits nothing -> scan None -> raw fallback
-    assert upack.scan(
-        rng.integers(-32768, 32768, (2, 2, 64)).astype(np.int32)
-    ) is None
+    # full-scale 16-bit noise: scan finds a wide (hi-res) field, but
+    # try_pack rejects anything that does not beat the raw int16 upload
+    noise = rng.integers(-32768, 32768, (2, 2, 64)).astype(np.int32)
+    fmt = upack.scan(noise)
+    assert fmt is None or fmt[1] > 12, fmt  # never a narrow lie
+    assert upack.try_pack(noise, 16) is None
     assert upack.try_pack(
         np.tile(np.array([-32768, 32767], np.int32), 32)[None]
     ) is None
+    # ... while 24-bit content uses exactly those wide widths
+    hi = (noise.astype(np.int64) << 8).astype(np.int32)
+    out = upack.try_pack(hi, 24)
+    assert out is not None and out[0][0] in ("w", "r"), out and out[0]
+    assert sum(a.nbytes for a in out[1]) < hi.size * 4
 
+    # hi-res (17..24-bit) is now wire-eligible; above that the rice
+    # zigzag would overflow uint32, so the explicit request must raise
+    p24 = be.BatchPipeline(config.Encoder(), 2, 24, 1024, 4, upload_pack=True)
+    assert p24.upload_mode == "on" and not p24._delta_eligible
     with pytest.raises(ValueError):
         be.BatchPipeline(
-            config.Encoder(), 2, 24, 1024, 4, upload_pack=True
+            config.Encoder(), 2, 32, 1024, 4, upload_pack=True
         )
     with pytest.raises(ValueError):
         be.BatchPipeline(
             config.Encoder(), 2, 16, 1016, 4, upload_pack=True
+        )
+    # the delta16 wire cannot represent hi-res samples
+    with pytest.raises(ValueError):
+        be.BatchPipeline(
+            config.Encoder(), 2, 24, 1024, 4, upload_pack="delta"
         )
 
 
@@ -600,7 +616,7 @@ def test_rice_wire_parity_and_roundtrip():
             assert np.array_equal(
                 native.scan_rice(x), upack.scan_rice_np(x)
             ), (order, p)
-            sums = upack.scan_rice_np(x).reshape(-1, 2, 18)
+            sums = upack.scan_rice_np(x).reshape(-1, 2, 26)
             wu = -(-int((sums[:, order - 1, p] + T).max()) // 32)
             wu = -(-wu // 16) * 16
             got_c = native.pack_rice(x, order, p, wu)
@@ -647,6 +663,36 @@ def test_rice_wire_pipeline_byte_identical():
     ).to_bytes()
     packed = be.encode_with_fixed_block_size(
         cfg, source.MemSource(x, 2, 16, 44100), 1024,
+        batch_size=4, upload_pack=True,
+    ).to_bytes()
+    assert packed == raw
+    assert np.array_equal(decode_stream(parse_stream(packed)), x)
+
+
+def test_hires_wire_pipeline_byte_identical():
+    """24-bit PCM rides the packed wire (wide widths / high rice p) and
+    stays byte-identical to the raw int32 upload; the wire actually
+    engages (try_pack returns non-None for this content)."""
+    from flacenc_tpu.ops import upack
+
+    n = 1024 * 5
+    t = np.arange(n, dtype=np.float64)
+    rng = np.random.default_rng(5)
+    x = np.zeros(2 * n, np.int32)
+    base = 4_000_000 * np.sin(2 * np.pi * 200 / 44100 * t)
+    x[0::2] = np.round(base + rng.integers(-3000, 3000, n)).astype(np.int32)
+    x[1::2] = np.round(0.7 * base + rng.integers(-3000, 3000, n)).astype(np.int32)
+    blocks = x.reshape(-1, 2).T.reshape(2, -1, 1024).transpose(1, 0, 2)
+    out = upack.try_pack(np.ascontiguousarray(blocks), 24)
+    assert out is not None, "24-bit tonal content must pick a packed wire"
+    assert sum(a.nbytes for a in out[1]) < x.size * 4
+    cfg = config.Encoder().into_verified()
+    raw = be.encode_with_fixed_block_size(
+        cfg, source.MemSource(x, 2, 24, 44100), 1024,
+        batch_size=4, upload_pack=False,
+    ).to_bytes()
+    packed = be.encode_with_fixed_block_size(
+        cfg, source.MemSource(x, 2, 24, 44100), 1024,
         batch_size=4, upload_pack=True,
     ).to_bytes()
     assert packed == raw
