@@ -1244,11 +1244,18 @@ class BatchPipeline:
         enc = self._fn_for(wire)(*map(self._put, payload + ext))
         return self._fetch(enc)
 
-    def submit(self, blocks_list: List[np.ndarray], nums: np.ndarray,
+    def submit(self, blocks_list, nums: np.ndarray,
                rate: Optional[int] = None, cookie=None):
         """Queues one batch; returns a drained BatchResult once the
-        pipeline is at depth, else None."""
-        chunk = _bucket_pad(np.stack(blocks_list), self.batch_size)
+        pipeline is at depth, else None.
+
+        `blocks_list` is a list of (C, T) blocks OR a premade (k, C, T)
+        int32 array (the bulk `Source.read_blocks_batch` path — skips the
+        per-block stack copy)."""
+        if isinstance(blocks_list, np.ndarray):
+            chunk = _bucket_pad(blocks_list, self.batch_size)
+        else:
+            chunk = _bucket_pad(np.stack(blocks_list), self.batch_size)
         verify_sample_range(chunk, self.bps)
         kind = "raw"
         if self._eligible_pack:
@@ -1488,6 +1495,22 @@ def encode_with_fixed_block_size(
     try:
         pending: List[np.ndarray] = []
         n_full = 0
+        # bulk fast path: sources backed by stable memory/files hand the
+        # encoder whole (k, C, T) batches with ONE md5 fill and ONE
+        # deinterleave pass (the per-block loop costs ~5 ms/256-block
+        # batch in copies + hash-queue items on a single-core host)
+        bulk = src.read_blocks_batch(batch_size, block_size, context)
+        if bulk is not None:
+            while True:
+                k = bulk.shape[0]
+                if k:
+                    drained(pipe.submit(
+                        bulk, np.arange(n_full, n_full + k), rate=rate
+                    ))
+                    n_full += k
+                if k < batch_size:
+                    break  # no further full block exists
+                bulk = src.read_blocks_batch(batch_size, block_size, context)
         while True:
             read = src.read_samples(block_size, (framebuf, context))
             if read == 0:

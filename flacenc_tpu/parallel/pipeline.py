@@ -64,12 +64,23 @@ class _Md5Thread:
 
     @staticmethod
     def _handle(item):
-        h, samples, n, bytes_per = item
-        interleaved = np.ascontiguousarray(samples[:, :n].T).reshape(-1)
-        h.update(samples_to_le_bytes(interleaved, bytes_per))
+        kind, h, payload, n, bytes_per = item
+        if kind == 0:       # channel-major block: re-interleave first
+            interleaved = np.ascontiguousarray(payload[:, :n].T).reshape(-1)
+            h.update(samples_to_le_bytes(interleaved, bytes_per))
+        elif kind == 1:     # already-interleaved samples (bulk path)
+            h.update(samples_to_le_bytes(payload, bytes_per))
+        else:               # raw little-endian PCM bytes (bulk WAV path)
+            h.update(payload)
 
     def submit(self, h, samples: np.ndarray, n: int, bytes_per: int):
-        self._worker.submit((h, samples, n, bytes_per))
+        self._worker.submit((0, h, samples, n, bytes_per))
+
+    def submit_interleaved(self, h, samples: np.ndarray, bytes_per: int):
+        self._worker.submit((1, h, samples, 0, bytes_per))
+
+    def submit_bytes(self, h, data: bytes):
+        self._worker.submit((2, h, data, 0, 0))
 
     def stop(self):
         """Drains the queue (FIFO) and joins the worker. Idempotent —
@@ -80,6 +91,27 @@ class _Md5Thread:
 
     def check(self):
         self._worker.check()
+
+
+class _BulkHashCtx:
+    """Context-surface adapter handed to `Source.read_blocks_batch` by
+    the corpus pipeline: routes the bulk read's hash input to the shared
+    `_Md5Thread` (raw WAV bytes hash with ZERO conversion; interleaved
+    arrays skip the per-block re-interleave of the fallback path).
+    Counters are tracked by the caller, so only the Fill surface exists."""
+
+    def __init__(self, thread: _Md5Thread, h, bytes_per: int):
+        self._thread = thread
+        self._h = h
+        self._bytes_per = bytes_per
+
+    def fill_interleaved(self, a: np.ndarray, copy: bool = True) -> None:
+        if copy:
+            a = np.array(a, dtype=np.int32, copy=True)
+        self._thread.submit_interleaved(self._h, a, self._bytes_per)
+
+    def fill_le_bytes(self, data: bytes, bytes_per: int) -> None:
+        self._thread.submit_bytes(self._h, bytes(data))
 
 
 def encode_corpus(
@@ -169,6 +201,28 @@ def encode_corpus(
         for fi, (name, src) in enumerate(sources):
             rate = src.sample_rate()
             framebuf = FrameBuf(nch, block_size)
+            # bulk fast path: whole (k, C, T) batches with one hash
+            # submit and one deinterleave (see Source.read_blocks_batch);
+            # the per-block loop below finishes the ragged tail
+            bulk_ctx = _BulkHashCtx(md5_thread, md5s[fi], bytes_per)
+            while True:
+                t0 = time.perf_counter()
+                chunk = src.read_blocks_batch(batch_size, block_size,
+                                              bulk_ctx)
+                stats.read_s += time.perf_counter() - t0
+                if chunk is None:
+                    break
+                k = chunk.shape[0]
+                total_samples[fi] += k * block_size
+                for i in range(k):
+                    pending.setdefault(rate, []).append(
+                        (fi, n_full[fi], chunk[i])
+                    )
+                    n_full[fi] += 1
+                    if len(pending[rate]) == batch_size:
+                        submit(rate)
+                if k < batch_size:
+                    break
             while True:
                 t0 = time.perf_counter()
                 read = src.read_samples(block_size, framebuf)

@@ -95,7 +95,11 @@ class Context:
     def total_samples(self) -> int:
         return self.sample_count
 
-    def fill_interleaved(self, interleaved: np.ndarray) -> None:
+    def fill_interleaved(self, interleaved: np.ndarray,
+                         copy: bool = True) -> None:
+        # `copy` is part of the AsyncContext-compatible surface; the sync
+        # context hashes synchronously so it never needs a snapshot
+        del copy
         if len(interleaved) == 0:
             return
         # hash the narrowed array's buffer directly — same bytes as
@@ -211,9 +215,14 @@ class AsyncContext:
         else:
             self._inner.fill_le_bytes(data, bytes_per)
 
-    def fill_interleaved(self, interleaved: np.ndarray) -> None:
+    def fill_interleaved(self, interleaved: np.ndarray,
+                         copy: bool = True) -> None:
         # snapshot: the caller may reuse/mutate its buffer after returning
-        self.worker.submit((0, np.array(interleaved, dtype=np.int32, copy=True), 0))
+        # (`copy=False` for stable buffers, e.g. MemSource slices — skips
+        # a multi-MB copy per bulk batch)
+        if copy:
+            interleaved = np.array(interleaved, dtype=np.int32, copy=True)
+        self.worker.submit((0, interleaved, 0))
 
     def fill_le_bytes(self, data: bytes, bytes_per_sample: int) -> None:
         self.worker.submit((1, bytes(data), bytes_per_sample))
@@ -314,6 +323,19 @@ class Source:
         """Fill `dest` with up to `block_size` samples; returns count read."""
         raise NotImplementedError
 
+    def read_blocks_batch(self, n_blocks: int, block_size: int,
+                          context: Optional[Context]):
+        """OPTIONAL bulk fast path for the batch encoder: up to `n_blocks`
+        FULL blocks as one (k, channels, block_size) int32 channel-major
+        array, hashing/counting into `context` with ONE call (per-block
+        md5 updates + FrameBuf copies cost ~5 ms per 256-block batch on a
+        single-core host). Returns None when unsupported — callers MUST
+        fall back to per-block `read_samples` — else an array with
+        k <= n_blocks (k < n_blocks only when no further full block
+        exists; any remaining short tail is still read via
+        `read_samples`)."""
+        return None
+
     def len_hint(self) -> Optional[int]:
         return None
 
@@ -393,6 +415,26 @@ class MemSource(Seekable):
         n = len(chunk) // self._channels
         self._offset += n
         return n
+
+    def read_blocks_batch(self, n_blocks: int, block_size: int,
+                          context: Optional[Context]):
+        """Bulk fast path (see `Source.read_blocks_batch`): one md5 fill
+        and one vectorized deinterleave per batch; the backing array is
+        stable for the stream's lifetime, so the hash thread reads the
+        slice without a snapshot copy."""
+        C = self._channels
+        begin = self._offset * C
+        avail = (len(self._samples) - begin) // (block_size * C)
+        k = min(n_blocks, avail)
+        if k <= 0:
+            return np.empty((0, C, block_size), np.int32)
+        flat = self._samples[begin: begin + k * block_size * C]
+        if context is not None:
+            context.fill_interleaved(flat, copy=False)
+        self._offset += k * block_size
+        return np.ascontiguousarray(
+            flat.reshape(k, block_size, C).transpose(0, 2, 1)
+        )
 
     def interleaved(self) -> np.ndarray:
         return self._samples

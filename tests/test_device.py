@@ -108,3 +108,38 @@ def test_device_multichannel_independent(channels):
     assert d == r
     dec = decode_stream(parse_stream(d))
     assert np.array_equal(dec, x)
+
+
+def test_bulk_read_path_matches_per_block():
+    """`Source.read_blocks_batch` (one md5 fill + one deinterleave per
+    batch) must be byte- and digest-identical to the per-block loop: a
+    source WITHOUT the bulk override forces the fallback path."""
+    import hashlib
+
+    from flacenc_tpu.source import MemSource, samples_to_le_bytes
+
+    class NoBulk(MemSource):
+        def read_blocks_batch(self, n_blocks, block_size, context):
+            return None
+
+    rng = np.random.default_rng(11)
+    cfg = config.Encoder().into_verified()
+    # odd length -> partial batch + ragged oracle tail; mono + stereo
+    for n, ch, bs in ((1024 * 9 + 777, 2, 1024), (4096 * 3, 1, 4096),
+                      (500, 2, 256)):
+        x = rng.integers(-20000, 20000, n * ch, dtype=np.int64).astype(
+            np.int32
+        )
+        fast = be.encode_with_fixed_block_size(
+            cfg, MemSource(x, ch, 16, 44100), bs, batch_size=4
+        )
+        slow = be.encode_with_fixed_block_size(
+            cfg, NoBulk(x, ch, 16, 44100), bs, batch_size=4
+        )
+        assert fast.to_bytes() == slow.to_bytes(), (n, ch, bs)
+        assert fast.stream_info().md5 == hashlib.md5(
+            samples_to_le_bytes(x, 2)
+        ).digest(), (n, ch, bs)
+        assert np.array_equal(
+            decode_stream(parse_stream(fast.to_bytes())), x
+        ), (n, ch, bs)
