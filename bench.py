@@ -80,6 +80,67 @@ def _watchdog(minutes: float = 40.0) -> None:
     t.start()
 
 
+def _supervise() -> int:
+    """Run the measurement in a worker SUBPROCESS and retry on hang/crash.
+
+    The tunneled device backend intermittently dies mid-process
+    (FailedPrecondition) or stalls for minutes; a dead backend never
+    recovers within a process, but a FRESH process a minute later
+    usually finds a healthy tunnel. The supervisor turns those windows
+    into a retry instead of a 0.0 result line. The first worker attempt
+    that prints a valid result wins; after BENCH_ATTEMPTS (default 3)
+    failures the last error line (or a synthesized one) is printed."""
+    import subprocess
+    import signal
+    import time as _time
+
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+    timeout_s = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT_S", "1500"))
+    last_line = None
+    for i in range(attempts):
+        if i:
+            _time.sleep(float(os.environ.get("BENCH_RETRY_GAP_S", "45")))
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker"],
+            stdout=subprocess.PIPE, text=True, start_new_session=True,
+        )
+        try:
+            out, _ = proc.communicate(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except OSError:
+                pass
+            proc.wait()
+            print(f"# attempt {i + 1}/{attempts}: worker hung after "
+                  f"{timeout_s:.0f}s (device backend stalled), retrying",
+                  file=sys.stderr, flush=True)
+            continue
+        for line in (out or "").splitlines():
+            line = line.strip()
+            if line.startswith("{") and '"metric"' in line:
+                last_line = line
+        if last_line is not None:
+            try:
+                ok = json.loads(last_line).get("value", 0) > 0
+            except ValueError:
+                ok = False
+            if ok:
+                print(last_line, flush=True)
+                return 0
+        print(f"# attempt {i + 1}/{attempts}: worker exited rc={proc.returncode} "
+              "without a result, retrying", file=sys.stderr, flush=True)
+    print(last_line or json.dumps({
+        "metric": "x-realtime encode per chip (16/44.1 stereo, block=4096)",
+        "value": 0.0,
+        "unit": "x_realtime",
+        "vs_baseline": 0.0,
+        "extra": {"error": f"all {attempts} bench attempts failed "
+                           "(device backend unavailable)"},
+    }), flush=True)
+    return 3
+
+
 def main() -> None:
     from flacenc_tpu import config
     from flacenc_tpu.models import batch_encoder as be
@@ -198,4 +259,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv or os.environ.get("BENCH_NO_SUPERVISOR"):
+        main()
+    else:
+        sys.exit(_supervise())
