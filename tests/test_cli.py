@@ -224,3 +224,48 @@ def test_cli_encode_streams_bounded_memory(tmp_path):
     # window + output, i.e. >= 2x the input on the Python heap — 1.6x
     # input still separates the two regimes cleanly
     assert peak < in_bytes * 1.6, (peak, in_bytes)
+
+
+@pytest.mark.parametrize("bps", [8, 16, 24])
+def test_wav_bulk_read_matches_per_block(tmp_path, bps):
+    """WavFileSource.read_blocks_batch (one disk read + raw-byte md5 per
+    batch) must match the per-block read path byte- and digest-for-digest
+    across container widths (8-bit offset PCM, 2-byte, 3-byte)."""
+    from flacenc_tpu import config
+    from flacenc_tpu.models import batch_encoder as be
+
+    n = 1024 * 5 + 333  # partial batch + ragged tail
+    x = _make_wav(tmp_path / "in.wav", 2, bps, 44100, n, seed=3)
+    cfg = config.Encoder().into_verified()
+
+    class NoBulk(WavFileSource):
+        def read_blocks_batch(self, n_blocks, block_size, context):
+            return None
+
+    fast = be.encode_with_fixed_block_size(
+        cfg, WavFileSource(str(tmp_path / "in.wav")), 1024, batch_size=4
+    )
+    slow = be.encode_with_fixed_block_size(
+        cfg, NoBulk(str(tmp_path / "in.wav")), 1024, batch_size=4
+    )
+    assert fast.to_bytes() == slow.to_bytes()
+    from flacenc_tpu.component import decode_stream, parse_stream
+
+    assert np.array_equal(decode_stream(parse_stream(fast.to_bytes())), x)
+
+
+def test_wav_bulk_read_after_seek(tmp_path):
+    """Seek + bulk read compose: read_blocks_batch continues from the
+    seek position and the remaining stream still encodes losslessly."""
+    from flacenc_tpu.source import Context
+
+    n = 1024 * 3
+    x = _make_wav(tmp_path / "in.wav", 2, 16, 44100, n, seed=5)
+    src = WavFileSource(str(tmp_path / "in.wav"))
+    src.seek_samples(1024)
+    ctx = Context(16, 2)
+    chunk = src.read_blocks_batch(8, 1024, ctx)
+    assert chunk.shape == (2, 2, 1024)
+    want = x.reshape(-1, 2).T[:, 1024:]
+    assert np.array_equal(chunk.transpose(1, 0, 2).reshape(2, -1), want)
+    assert ctx.total_samples() == 2048

@@ -221,3 +221,33 @@ def test_sequential_packing_byte_identical():
     d_st = be.encode_with_fixed_block_size(cfg_st, src2, 1024).to_bytes()
     assert d_mt == d_st
     assert np.array_equal(decode_stream(parse_stream(d_st)), x)
+
+
+def test_corpus_bulk_reads_byte_identical():
+    """The corpus pipeline's bulk read path (read_blocks_batch + raw
+    hash submits to the shared md5 thread) must produce byte-identical
+    streams and digests to per-block reading, across mixed rates."""
+    from flacenc_tpu.parallel import encode_corpus
+
+    class NoBulk(source.MemSource):
+        def read_blocks_batch(self, n_blocks, block_size, context):
+            return None
+
+    xs = {}
+    fast_srcs, slow_srcs = [], []
+    for name, seed, n, rate in (("a", 1, 3333, 44100), ("b", 2, 2500, 48000),
+                                ("c", 3, 1024, 44100)):
+        x, _ = _mem_source(seed, n, rate=rate)
+        xs[name] = x
+        fast_srcs.append((name, source.MemSource(x, 2, 16, rate)))
+        slow_srcs.append((name, NoBulk(x, 2, 16, rate)))
+    cfg = config.Encoder().into_verified()
+    fast, _ = encode_corpus(fast_srcs, cfg, 512, batch_size=4)
+    slow, _ = encode_corpus(slow_srcs, cfg, 512, batch_size=4)
+    for name in xs:
+        assert fast[name].to_bytes() == slow[name].to_bytes(), name
+        from flacenc_tpu.component import decode_stream, parse_stream
+
+        assert np.array_equal(
+            decode_stream(parse_stream(fast[name].to_bytes())), xs[name]
+        ), name
