@@ -697,3 +697,28 @@ def test_hires_wire_pipeline_byte_identical():
     ).to_bytes()
     assert packed == raw
     assert np.array_equal(decode_stream(parse_stream(packed)), x)
+
+
+def test_scan_wire_stride_and_wu_margin():
+    """The sampled-scan surface (kept off the hot path): strided sums
+    approximate the exact ones after rescaling, min/max stay EXACT at any
+    stride, and rice_plan's wu_margin pads only the unary budget of the
+    format chosen by unpadded ranking."""
+    from flacenc_tpu.ops import upack
+
+    rng = np.random.default_rng(9)
+    x = np.cumsum(rng.integers(-90, 91, (4, 2, 1024)), -1).astype(np.int32)
+    exact, mm1 = native.scan_wire(x, 1)
+    sampled, mm4 = native.scan_wire(x, 4)
+    assert np.array_equal(np.asarray(mm1), np.asarray(mm4))  # exact minmax
+    exact = np.asarray(exact).astype(np.float64)
+    sampled = np.asarray(sampled).astype(np.float64) * 4
+    big = exact > 4096  # relative error only meaningful off the tail
+    assert np.all(np.abs(sampled[big] - exact[big]) <= 0.25 * exact[big])
+
+    plain = upack.rice_plan(np.asarray(native.scan_wire(x, 1)[0]), 1024)
+    padded = upack.rice_plan(
+        np.asarray(native.scan_wire(x, 1)[0]), 1024, wu_margin=1.25
+    )
+    assert plain[:2] == padded[:2]      # same (order, p) choice
+    assert padded[2] >= plain[2]        # only the budget grows
