@@ -7,7 +7,7 @@ host-side bitstream packer. Public API mirrors the reference crate root
 and `encode_fixed_size_frame`, plus the config/source/component modules.
 """
 
-from . import component, config, constants, errors, sigen, source
+from . import bitio, component, config, constants, errors, sigen, source
 from .errors import EncodeError, SourceError, Verified, VerifyError, into_verified
 
 __version__ = constants.build_info.CRATE_VERSION
@@ -65,6 +65,7 @@ def encode_fixed_size_frame(config, framebuf, frame_number, stream_info):
 
 
 __all__ = [
+    "bitio",
     "component",
     "config",
     "constants",
