@@ -96,16 +96,25 @@ def _supervise() -> int:
 
     attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
     timeout_s = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT_S", "1500"))
+    # total wall budget: the previous single-process watchdog emitted its
+    # error line at 40 min and the driver tolerated that; never exceed it
+    budget_s = float(os.environ.get("BENCH_TOTAL_BUDGET_S", "2280"))
+    t_start = _time.monotonic()
     last_line = None
     for i in range(attempts):
         if i:
             _time.sleep(float(os.environ.get("BENCH_RETRY_GAP_S", "45")))
+        remaining = budget_s - (_time.monotonic() - t_start)
+        if remaining < 120:
+            print(f"# total budget {budget_s:.0f}s exhausted before "
+                  f"attempt {i + 1}", file=sys.stderr, flush=True)
+            break
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker"],
             stdout=subprocess.PIPE, text=True, start_new_session=True,
         )
         try:
-            out, _ = proc.communicate(timeout=timeout_s)
+            out, _ = proc.communicate(timeout=min(timeout_s, remaining))
         except subprocess.TimeoutExpired:
             try:
                 os.killpg(proc.pid, signal.SIGKILL)
