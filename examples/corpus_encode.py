@@ -24,4 +24,8 @@ def main(paths, out_dir):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        print(f"usage: {sys.argv[0]} input.wav [input2.wav ...] out_dir",
+              file=sys.stderr)
+        sys.exit(64)  # EX_USAGE
     main(sys.argv[1:-1], sys.argv[-1])
