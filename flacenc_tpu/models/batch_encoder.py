@@ -1424,6 +1424,7 @@ def encode_with_fixed_block_size(
     strict_lpc: Optional[bool] = None,
     mesh="auto",
     upload_pack="env",
+    stats: Optional[dict] = None,
 ) -> "Stream":
     """Batched TPU stream encoder (public entry).
 
@@ -1440,6 +1441,11 @@ def encode_with_fixed_block_size(
     the leading block axis when possible; pass a `jax.sharding.Mesh` with a
     "blocks" axis to control placement, or None to pin to one device.
     Blocks are independent, so sharding changes throughput, never bytes.
+
+    `stats`: optional dict filled in-place with wall-clock stage totals
+    (read_s, submit_s, device_wait_s, pack_s, batches, frames) so callers
+    (bench.py, the CLI) can report where end-to-end time goes — the
+    host-side ceiling is everything except `device_wait_s`.
 
     `upload_pack`: "env" (default) consults FLACENC_PACKED_UPLOAD
     ("1" forces the dense packed wire, "0" raw, "d" the delta16 wire,
@@ -1488,9 +1494,23 @@ def encode_with_fixed_block_size(
         upload_pack,
     )
 
+    import time as _time
+
+    _acc = {"read_s": 0.0, "submit_s": 0.0, "device_wait_s": 0.0,
+            "pack_s": 0.0, "batches": 0}
+    _t_start = _time.perf_counter()
+
     def drained(result):
         if result is not None:
             frames.extend(result.frames)
+            _acc["device_wait_s"] += result.device_wait_s
+            _acc["pack_s"] += result.pack_s
+            _acc["batches"] += 1
+
+    def timed_submit(blocks, nums):
+        t0 = _time.perf_counter()
+        drained(pipe.submit(blocks, nums, rate=rate))
+        _acc["submit_s"] += _time.perf_counter() - t0
 
     try:
         pending: List[np.ndarray] = []
@@ -1499,30 +1519,31 @@ def encode_with_fixed_block_size(
         # encoder whole (k, C, T) batches with ONE md5 fill and ONE
         # deinterleave pass (the per-block loop costs ~5 ms/256-block
         # batch in copies + hash-queue items on a single-core host)
+        t0 = _time.perf_counter()
         bulk = src.read_blocks_batch(batch_size, block_size, context)
+        _acc["read_s"] += _time.perf_counter() - t0
         if bulk is not None:
             while True:
                 k = bulk.shape[0]
                 if k:
-                    drained(pipe.submit(
-                        bulk, np.arange(n_full, n_full + k), rate=rate
-                    ))
+                    timed_submit(bulk, np.arange(n_full, n_full + k))
                     n_full += k
                 if k < batch_size:
                     break  # no further full block exists
+                t0 = _time.perf_counter()
                 bulk = src.read_blocks_batch(batch_size, block_size, context)
+                _acc["read_s"] += _time.perf_counter() - t0
         while True:
+            t0 = _time.perf_counter()
             read = src.read_samples(block_size, (framebuf, context))
+            _acc["read_s"] += _time.perf_counter() - t0
             if read == 0:
                 break
             if read == block_size:
                 pending.append(framebuf.samples.copy())
                 if len(pending) == batch_size:
-                    drained(pipe.submit(
-                        pending,
-                        np.arange(n_full, n_full + batch_size),
-                        rate=rate,
-                    ))
+                    timed_submit(pending,
+                                 np.arange(n_full, n_full + batch_size))
                     n_full += batch_size
                     pending = []
             else:
@@ -1532,11 +1553,9 @@ def encode_with_fixed_block_size(
                 tail = framebuf.samples[:, :read].copy()
                 break
         if pending:
-            drained(pipe.submit(
-                pending, np.arange(n_full, n_full + len(pending)), rate=rate
-            ))
+            timed_submit(pending, np.arange(n_full, n_full + len(pending)))
         for result in pipe.drain_all():
-            frames.extend(result.frames)
+            drained(result)
     finally:
         pipe.close()
         context.shutdown()  # join the MD5 worker (no-op if already done)
@@ -1560,6 +1579,14 @@ def encode_with_fixed_block_size(
     stream.stream_info_mut().set_total_samples(
         total if total is not None else context.total_samples()
     )
+    if stats is not None:
+        stats.update(
+            wall_s=_time.perf_counter() - _t_start,
+            frames=len(frames),
+            link_mbps=round(_LINK_EST.mbps, 1) if _LINK_EST.mbps else None,
+            wire_batches={repr(k): v for k, v in pipe.wire_counts.items()},
+            **_acc,
+        )
     from ..log import info_stats
 
     # stream-path run stats (the par-mode JSONL line, par.rs:414-421)
