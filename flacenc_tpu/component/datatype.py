@@ -232,7 +232,11 @@ class Residual:
         self.rice_params = np.asarray(rice_params, dtype=np.uint8)
         self.quotients = np.ascontiguousarray(quotients, dtype=np.uint32)
         self.remainders = np.ascontiguousarray(remainders, dtype=np.uint32)
-        assert len(self.rice_params) == 1 << self.partition_order
+        if len(self.rice_params) != 1 << self.partition_order:
+            raise ValueError(
+                f"rice_params must have 2**partition_order entries: got "
+                f"{len(self.rice_params)} for order {self.partition_order}"
+            )
         # cached sums (datatype.rs:2326-2332)
         self.sum_quotients = int(self.quotients.sum(dtype=np.uint64))
         self.sum_rice_params = int(self.rice_params.sum(dtype=np.uint64))
@@ -344,7 +348,11 @@ class FixedLpc:
 
     def __init__(self, warm_up: Sequence[int], residual: Residual, bits_per_sample: int) -> None:
         self.warm_up = np.array(warm_up, dtype=np.int32, copy=True)
-        assert len(self.warm_up) <= constants.fixed.MAX_LPC_ORDER
+        if len(self.warm_up) > constants.fixed.MAX_LPC_ORDER:
+            raise ValueError(
+                f"fixed-LPC warm_up length {len(self.warm_up)} exceeds "
+                f"MAX_LPC_ORDER={constants.fixed.MAX_LPC_ORDER}"
+            )
         self.residual = residual
         self.bits_per_sample = int(bits_per_sample)
 
@@ -412,9 +420,13 @@ class Lpc:
         dest.write_lsbs(0x40 | ((self.order - 1) << 1), 8)
         for v in self.warm_up[: self.order]:
             dest.write_twoc(int(v), self.bits_per_sample)
-        assert self.parameters.precision < 16
+        if not self.parameters.precision < 16:
+            raise ValueError(
+                f"QLPC precision {self.parameters.precision} must be < 16"
+            )
         dest.write_lsbs(self.parameters.precision - 1, 4)
-        assert self.parameters.shift >= 0, "negative QLPC shift is unsupported"
+        if self.parameters.shift < 0:
+            raise ValueError("negative QLPC shift is unsupported")
         dest.write_twoc(self.parameters.shift, 5)
         for c in self.parameters.coefs:
             dest.write_twoc(int(c), self.parameters.precision)
@@ -563,7 +575,8 @@ class Frame:
         dest.write_bytes_aligned(self.to_frame_bytes())
 
     def into_stereo_channels(self):
-        assert len(self.subframes_) == 2, "into_stereo_channels requires 2 channels"
+        if len(self.subframes_) != 2:
+            raise ValueError("into_stereo_channels requires 2 channels")
         return self.header_, self.subframes_[0], self.subframes_[1]
 
 
@@ -623,7 +636,8 @@ class StreamInfo:
         self.total_samples = n
 
     def set_md5_digest(self, digest: bytes) -> None:
-        assert len(digest) == 16
+        if len(digest) != 16:
+            raise ValueError(f"md5 digest must be 16 bytes, got {len(digest)}")
         self.md5 = bytes(digest)
 
     def count_bits(self) -> int:

@@ -102,7 +102,10 @@ def decode_stream(data: bytes) -> IndependentDecode:
     if len(data) >= 42:
         total = int.from_bytes(data[21:26], "big") & ((1 << 36) - 1)
         channels = ((data[20] >> 1) & 0x7) + 1
-        first_guess = total * channels
+        # clamp by what the payload could possibly hold (>= 1 bit per
+        # sample) so a corrupt/malicious 36-bit field cannot demand a
+        # ~2^36-element allocation and OOM the fuzz/test process
+        first_guess = min(total * channels, len(data) * 8)
     rc, out = call(first_guess)
     if rc == 1:
         rc, out = call(int(info[8]))

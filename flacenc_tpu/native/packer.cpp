@@ -961,7 +961,7 @@ void flacenc_pack_upload(
 // (order, p) and size the unary budget without a second data pass.
 void flacenc_scan_rice(
     const int32_t* x, int64_t rows, int64_t T,
-    int64_t* sums /* rows * 2 * 18 */) {
+    int64_t* sums /* rows * 2 * NP (= 26) entries */) {
     const int NP = 26;
     for (int64_t r = 0; r < rows; ++r) {
         const int32_t* xr = x + r * T;

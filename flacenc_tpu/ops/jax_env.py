@@ -14,12 +14,34 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: encoder programs are specialized per
 # (config, block_size, batch) and reused across processes.
-# keyed per requested platform: persistent CPU artifacts compiled under a
-# different host-feature profile can SIGILL if shared across machines
+# keyed per requested platform AND host-CPU feature fingerprint:
+# persistent CPU artifacts compiled under a different host-feature
+# profile load with "could SIGILL" warnings (cpu_aot_loader) when the
+# cache directory moves between machines — a fresh dir is cheaper than
+# a crashed bench fallback
 _platform_tag = os.environ.get("JAX_PLATFORMS", "default").replace(",", "_") or "auto"
+
+
+def _host_fingerprint() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine() or "unknown"
+
+
 _cache_dir = os.environ.get(
     "FLACENC_TPU_JAX_CACHE",
-    os.path.expanduser(f"~/.cache/flacenc_tpu_jax_{_platform_tag}"),
+    os.path.expanduser(
+        f"~/.cache/flacenc_tpu_jax_{_platform_tag}_{_host_fingerprint()}"
+    ),
 )
 try:
     os.makedirs(_cache_dir, exist_ok=True)

@@ -105,12 +105,16 @@ class _BulkHashCtx:
         self._h = h
         self._bytes_per = bytes_per
 
-    def fill_interleaved(self, a: np.ndarray, copy: bool = True) -> None:
+    def fill_interleaved(self, a: np.ndarray, copy: bool = True,
+                         blocks: int = 1) -> None:
+        del blocks  # counters are tracked by the corpus caller
         if copy:
             a = np.array(a, dtype=np.int32, copy=True)
         self._thread.submit_interleaved(self._h, a, self._bytes_per)
 
-    def fill_le_bytes(self, data: bytes, bytes_per: int) -> None:
+    def fill_le_bytes(self, data: bytes, bytes_per: int,
+                      blocks: int = 1) -> None:
+        del blocks  # counters are tracked by the corpus caller
         self._thread.submit_bytes(self._h, bytes(data))
 
 
@@ -157,10 +161,14 @@ def encode_corpus(
 
     nch = sources[0][1].channels()
     bps = sources[0][1].bits_per_sample()
-    for _, src in sources:
-        assert (src.channels(), src.bits_per_sample()) == (nch, bps), (
-            "corpus sources must share channel count and bits-per-sample"
-        )
+    for name, src in sources:
+        if (src.channels(), src.bits_per_sample()) != (nch, bps):
+            raise ValueError(
+                "corpus sources must share channel count and "
+                f"bits-per-sample: {name!r} has "
+                f"(channels={src.channels()}, bps={src.bits_per_sample()}) "
+                f"vs (channels={nch}, bps={bps})"
+            )
     bytes_per = -(-bps // 8)
 
     # per-file state

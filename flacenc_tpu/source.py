@@ -79,7 +79,9 @@ class Context:
 
     def __init__(self, bits_per_sample: int, channels: int) -> None:
         bytes_per_sample = -(-bits_per_sample // 8)
-        assert bytes_per_sample <= 4, "bits_per_sample cannot be larger than 32."
+        if bytes_per_sample > 4:
+            # the reference's panic message (source.rs via constant.rs)
+            raise ValueError("bits_per_sample cannot be larger than 32.")
         self._md5 = hashlib.md5()
         self.bytes_per_sample = bytes_per_sample
         self.channels = channels
@@ -96,9 +98,11 @@ class Context:
         return self.sample_count
 
     def fill_interleaved(self, interleaved: np.ndarray,
-                         copy: bool = True) -> None:
+                         copy: bool = True, blocks: int = 1) -> None:
         # `copy` is part of the AsyncContext-compatible surface; the sync
-        # context hashes synchronously so it never needs a snapshot
+        # context hashes synchronously so it never needs a snapshot.
+        # `blocks` lets the bulk read paths (one fill per k-block batch)
+        # keep frame_count in blocks, not batches.
         del copy
         if len(interleaved) == 0:
             return
@@ -106,14 +110,15 @@ class Context:
         # samples_to_le_bytes without materializing a bytes copy
         self._md5.update(_samples_le_view(interleaved, self.bytes_per_sample))
         self.sample_count += len(interleaved) // self.channels
-        self.frame_count += 1
+        self.frame_count += blocks
 
-    def fill_le_bytes(self, data: bytes, bytes_per_sample: int) -> None:
+    def fill_le_bytes(self, data: bytes, bytes_per_sample: int,
+                      blocks: int = 1) -> None:
         if not data:
             return
         self._md5.update(data)
         self.sample_count += len(data) // self.channels // bytes_per_sample
-        self.frame_count += 1
+        self.frame_count += blocks
 
 
 class BoundedWorker:
@@ -209,23 +214,24 @@ class AsyncContext:
         self.worker = BoundedWorker(self._handle)
 
     def _handle(self, item) -> None:
-        kind, data, bytes_per = item
+        kind, data, bytes_per, blocks = item
         if kind == 0:
-            self._inner.fill_interleaved(data)
+            self._inner.fill_interleaved(data, blocks=blocks)
         else:
-            self._inner.fill_le_bytes(data, bytes_per)
+            self._inner.fill_le_bytes(data, bytes_per, blocks=blocks)
 
     def fill_interleaved(self, interleaved: np.ndarray,
-                         copy: bool = True) -> None:
+                         copy: bool = True, blocks: int = 1) -> None:
         # snapshot: the caller may reuse/mutate its buffer after returning
         # (`copy=False` for stable buffers, e.g. MemSource slices — skips
         # a multi-MB copy per bulk batch)
         if copy:
             interleaved = np.array(interleaved, dtype=np.int32, copy=True)
-        self.worker.submit((0, interleaved, 0))
+        self.worker.submit((0, interleaved, 0, blocks))
 
-    def fill_le_bytes(self, data: bytes, bytes_per_sample: int) -> None:
-        self.worker.submit((1, bytes(data), bytes_per_sample))
+    def fill_le_bytes(self, data: bytes, bytes_per_sample: int,
+                      blocks: int = 1) -> None:
+        self.worker.submit((1, bytes(data), bytes_per_sample, blocks))
 
     def _sync(self) -> None:
         """All prior fills applied; hashing errors re-raised; worker kept
@@ -399,7 +405,8 @@ class MemSource(Seekable):
 
     def seek_samples(self, n: int) -> None:
         """Seekable analogue (source.rs:499-538)."""
-        assert 0 <= n <= (len(self._samples) // self._channels)
+        if not 0 <= n <= (len(self._samples) // self._channels):
+            raise ValueError(f"seek_samples({n}) out of range")
         self._offset = n
 
     def read_samples(self, block_size: int, dest: Tuple[FrameBuf, Context]) -> int:
@@ -430,7 +437,7 @@ class MemSource(Seekable):
             return np.empty((0, C, block_size), np.int32)
         flat = self._samples[begin: begin + k * block_size * C]
         if context is not None:
-            context.fill_interleaved(flat, copy=False)
+            context.fill_interleaved(flat, copy=False, blocks=k)
         self._offset += k * block_size
         return np.ascontiguousarray(
             flat.reshape(k, block_size, C).transpose(0, 2, 1)

@@ -143,7 +143,10 @@ class WavFileSource(Seekable):
     # Seekable (source.rs:499-538)
     def seek_samples(self, n: int) -> None:
         byte = n * self._bytes_per_sample * self._channels
-        assert byte <= self._data_len
+        if byte > self._data_len:
+            raise ValueError(
+                f"seek_samples({n}) is past the end of the data chunk"
+            )
         self._pos = byte
         self._f.seek(self._data_start + byte)
 
@@ -184,7 +187,12 @@ class WavFileSource(Seekable):
         raw = self._f.read(k * block_bytes)
         if len(raw) < k * block_bytes:  # short file despite header claim
             k = len(raw) // block_bytes
-            raw = raw[: k * block_bytes]
+            keep = k * block_bytes
+            # the fd consumed the partial tail bytes too; rewind so the
+            # per-block read_samples fallback still encodes them as the
+            # tail block (bulk and per-block paths must match bytes)
+            self._f.seek(self._data_start + self._pos + keep)
+            raw = raw[:keep]
             if k <= 0:
                 return np.empty((0, C, block_size), np.int32)
         self._pos += len(raw)
@@ -193,11 +201,11 @@ class WavFileSource(Seekable):
                 np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
             )
             if context is not None:
-                context.fill_interleaved(samples, copy=False)
+                context.fill_interleaved(samples, copy=False, blocks=k)
         else:
             samples = le_bytes_to_samples(raw, bpsam)
             if context is not None:
-                context.fill_le_bytes(raw, bpsam)
+                context.fill_le_bytes(raw, bpsam, blocks=k)
         return np.ascontiguousarray(
             samples.reshape(k, block_size, C).transpose(0, 2, 1)
         )

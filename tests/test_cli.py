@@ -269,3 +269,60 @@ def test_wav_bulk_read_after_seek(tmp_path):
     want = x.reshape(-1, 2).T[:, 1024:]
     assert np.array_equal(chunk.transpose(1, 0, 2).reshape(2, -1), want)
     assert ctx.total_samples() == 2048
+
+
+def test_wav_truncated_data_chunk_bulk_equals_per_block(tmp_path):
+    """A WAV whose header claims more data than the file holds: the bulk
+    path must re-seek past its truncated read so the per-block fallback
+    still encodes the partial tail (round-3 advisor medium finding)."""
+    from flacenc_tpu import config
+    from flacenc_tpu.models import batch_encoder as be
+
+    n = 1024 * 2 + 300  # 2 full blocks + a partial tail block
+    _make_wav(tmp_path / "in.wav", 2, 16, 44100, n, seed=9)
+    raw = (tmp_path / "in.wav").read_bytes()
+    # chop 100 samples' bytes off the end WITHOUT fixing the data header
+    (tmp_path / "trunc.wav").write_bytes(raw[: len(raw) - 100 * 2 * 2])
+
+    cfg = config.Encoder().into_verified()
+
+    class NoBulk(WavFileSource):
+        def read_blocks_batch(self, n_blocks, block_size, context):
+            return None
+
+    fast = be.encode_with_fixed_block_size(
+        cfg, WavFileSource(str(tmp_path / "trunc.wav")), 1024, batch_size=2
+    )
+    slow = be.encode_with_fixed_block_size(
+        cfg, NoBulk(str(tmp_path / "trunc.wav")), 1024, batch_size=2
+    )
+    assert fast.to_bytes() == slow.to_bytes()
+    # the tail present on disk (including the sub-block partial bytes)
+    # must be encoded, not silently dropped (STREAMINFO total_samples
+    # keeps the header's len_hint claim, like the reference
+    # coding.rs:693 — the DECODED length is what proves the fix)
+    from flacenc_tpu.component import decode_stream, parse_stream
+
+    decoded = decode_stream(parse_stream(fast.to_bytes()))
+    assert len(decoded) // 2 == n - 100
+
+
+def test_wav_seek_past_end_raises(tmp_path):
+    _make_wav(tmp_path / "in.wav", 2, 16, 44100, 500)
+    src = WavFileSource(str(tmp_path / "in.wav"))
+    with pytest.raises(ValueError, match="past the end"):
+        src.seek_samples(501)
+
+
+def test_wav_bulk_read_frame_count_in_blocks(tmp_path):
+    """Bulk fills must advance Context.frame_count by the BLOCK count,
+    not once per batch (round-3 advisor finding)."""
+    from flacenc_tpu.source import Context
+
+    n = 1024 * 3
+    _make_wav(tmp_path / "in.wav", 2, 16, 44100, n, seed=3)
+    src = WavFileSource(str(tmp_path / "in.wav"))
+    ctx = Context(16, 2)
+    src.read_blocks_batch(8, 1024, ctx)
+    assert ctx.frame_count == 3
+    assert ctx.current_frame_number() == 2
