@@ -342,6 +342,60 @@ def encode_fixed_size_frame(
     return frame
 
 
+def encode_with_variable_block_size(
+    config: Verified[config_mod.Encoder] | config_mod.Encoder,
+    src: Source,
+    block_sizes,
+    strict_lpc: bool = False,
+) -> Stream:
+    """Variable-blocking stream encoder (completeness entry).
+
+    The reference defines, writes, parses, and VERIFIES variable-block
+    streams (sample-number frame offsets, datatype.rs:266-314 /
+    1204-1215) but ships no encoder entry emitting them; this minimal
+    oracle-path entry does: frame i takes its block size from
+    `block_sizes[i]` (the final entry repeats until EOF) and carries a
+    `FrameOffset::StartSample` header. STREAMINFO keeps the true
+    min/max block sizes (no fixed-mode `min=max` finalization,
+    coding.rs:678-688 does not apply to variable mode).
+    """
+    cfg = config.inner if isinstance(config, Verified) else config
+    sizes = [int(b) for b in block_sizes]
+    if not sizes:
+        raise RangeError("block_sizes", "must be non-empty", 0)
+    for b in sizes:
+        if not (constants.MIN_BLOCK_SIZE <= b <= constants.MAX_BLOCK_SIZE):
+            raise RangeError(
+                "block_sizes",
+                f"must be in [{constants.MIN_BLOCK_SIZE}, "
+                f"{constants.MAX_BLOCK_SIZE}]",
+                b,
+            )
+    stream = Stream(src.sample_rate(), src.channels(), src.bits_per_sample())
+    context = Context(src.bits_per_sample(), src.channels())
+    start_sample = 0
+    i = 0
+    while True:
+        bs = sizes[min(i, len(sizes) - 1)]
+        framebuf = FrameBuf(src.channels(), bs)
+        read = src.read_samples(bs, (framebuf, context))
+        if read == 0:
+            break
+        frame = encode_fixed_size_frame(
+            cfg, framebuf, 0, stream.stream_info(), strict_lpc=strict_lpc
+        )
+        frame.header_mut().set_start_sample_number(start_sample)
+        start_sample += read
+        stream.add_frame(frame)
+        i += 1
+    stream.stream_info_mut().set_md5_digest(context.md5_digest())
+    total = src.len_hint()
+    stream.stream_info_mut().set_total_samples(
+        total if total is not None else context.total_samples()
+    )
+    return stream
+
+
 def encode_with_fixed_block_size(
     config: Verified[config_mod.Encoder] | config_mod.Encoder,
     src: Source,

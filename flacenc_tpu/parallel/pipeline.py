@@ -256,7 +256,7 @@ def encode_corpus(
     finally:
         pipe.close()
         stats.wire_batches = dict(pipe.wire_counts)
-        stats.link_mbps = be._LINK_EST.mbps
+        stats.link_mbps = pipe._est.mbps
         t0 = time.perf_counter()
         md5_thread.stop()
         stats.md5_wait_s += time.perf_counter() - t0

@@ -266,3 +266,58 @@ def test_async_context_matches_context():
     bad.fill_le_bytes(b"\x00\x01", 0)  # division by zero in the counter
     with _pytest.raises(ZeroDivisionError):
         bad.finish()
+
+
+def test_variable_block_size_encode_verify_decode():
+    """Variable-blocking encode entry (completeness; the reference only
+    verifies such streams, datatype.rs:266-314): encode with a block-size
+    schedule, verify() the stream, and round-trip through the CRC parser
+    AND the clean-room C++ decoder."""
+    import hashlib
+
+    from flacenc_tpu import config, source
+    from flacenc_tpu.component import decode_stream, parse_stream
+    from flacenc_tpu.component.verify import verify_stream
+    from flacenc_tpu.models import reference_encoder as re
+
+    n = 4096 + 1024 + 512 + 300  # three scheduled sizes + ragged tail
+    rng = np.random.default_rng(11)
+    x = np.cumsum(rng.integers(-60, 61, 2 * n), 0).astype(np.int32)
+    x = np.clip(x, -30000, 30000)
+    src = source.MemSource(x, 2, 16, 44100)
+    stream = re.encode_with_variable_block_size(
+        config.Encoder().into_verified(), src, [4096, 1024, 512]
+    )
+    verify_stream(stream)  # cumulative sample-number offsets check
+    headers = [f.header() for f in stream.frames()]
+    assert all(h.is_variable_blocking() for h in headers)
+    assert [h.start_sample_number for h in headers] == [0, 4096, 5120, 5632]
+    info = stream.stream_info()
+    assert (info.min_block_size, info.max_block_size) == (300, 4096)
+    data = stream.to_bytes()
+    decoded = decode_stream(parse_stream(data))
+    assert np.array_equal(decoded, x)
+    assert info.md5 == hashlib.md5(
+        source.samples_to_le_bytes(x, 2)).digest()
+    # clean-room decoder oracle (shares zero code with the writer)
+    from flacenc_tpu import native
+    if native.available():
+        from flacenc_tpu.native import independent
+
+        ind = independent.decode_stream(data)
+        assert np.array_equal(
+            ind.samples.reshape(-1, ind.channels).reshape(-1), x
+        )
+
+
+def test_variable_block_size_rejects_bad_sizes():
+    from flacenc_tpu import config, source
+    from flacenc_tpu.errors import RangeError
+    from flacenc_tpu.models import reference_encoder as re
+
+    src = source.MemSource(np.zeros(256, np.int32), 2, 16, 44100)
+    cfg = config.Encoder().into_verified()
+    with pytest.raises(RangeError):
+        re.encode_with_variable_block_size(cfg, src, [])
+    with pytest.raises(RangeError):
+        re.encode_with_variable_block_size(cfg, src, [16])  # < MIN

@@ -458,9 +458,9 @@ def test_pipeline_wire_flip_byte_identical(monkeypatch):
         est.mbps = 10.0
 
     def run(schedule):
-        est = be.LinkEstimator()
-        monkeypatch.setattr(be, "_LINK_EST", est)
+        monkeypatch.setattr(be, "_LINK_ESTS", {})
         p = be.BatchPipeline(cfg, 2, 16, 512, 2, upload_pack="auto")
+        est = p._est
         assert p.upload_mode == "auto"
         p.async_compile = False  # deterministic wires (no warm-up race)
         frames = []
@@ -500,13 +500,13 @@ def test_async_wire_compile_fallback(monkeypatch):
         for _ in range(6)
     ]
     cfg = config.Encoder()
-    est = be.LinkEstimator()
+    monkeypatch.setattr(be, "_LINK_ESTS", {})
+    p = be.BatchPipeline(cfg, 2, 16, 512, 2, upload_pack="auto")
+    est = p._est
     # pin the racer to "pack" from the start
     est.secs = {"raw": 1.0, "d": 1.0, "pack": 0.1}
     est.nbytes = {k: 1_000_000 for k in est.secs}
     est.age = {k: 0 for k in est.secs}
-    monkeypatch.setattr(be, "_LINK_EST", est)
-    p = be.BatchPipeline(cfg, 2, 16, 512, 2, upload_pack="auto")
     assert p.async_compile
     frames, wires = [], []
 
@@ -722,3 +722,39 @@ def test_scan_wire_stride_and_wu_margin():
     )
     assert plain[:2] == padded[:2]      # same (order, p) choice
     assert padded[2] >= plain[2]        # only the budget grows
+
+
+def test_link_estimators_bucketed_by_payload_shape(monkeypatch):
+    """A batch-64 stream and a batch-256 corpus in one process must not
+    cross-pollute gap estimates (VERDICT r3 weak #6): estimators are
+    keyed by log2(samples/batch), and a new pipeline of a different
+    shape converges on its own measurements within ~3 batches."""
+    monkeypatch.setattr(be, "_LINK_ESTS", {})
+    cfg = config.Encoder()
+    p64 = be.BatchPipeline(cfg, 2, 16, 4096, 64, upload_pack="auto")
+    p256 = be.BatchPipeline(cfg, 2, 16, 4096, 256, upload_pack="auto")
+    p64b = be.BatchPipeline(cfg, 2, 16, 4096, 64, upload_pack="auto")
+    try:
+        assert p64._est is not p256._est          # different buckets
+        assert p64._est is p64b._est              # same shape -> shared
+
+        # simulate: on the small batches the "pack" wire wins decisively
+        for _ in range(3):
+            p64._est.update(1_000_000, 1.0, "raw")
+            p64._est.update(1_000_000, 0.1, "pack")
+        assert p64._est.choose(("raw", "pack"), "raw") == "pack"
+        # ...but the big-batch estimator saw none of it: cold start
+        # still measures raw first instead of inheriting "pack"
+        assert p256._est.choose(("raw", "pack"), "raw") == "raw"
+        assert not p256._est.secs
+
+        # the 256-batch pipeline then converges on its own evidence
+        # within 3 batches: raw is faster there (fast link regime)
+        p256._est.update(4_000_000, 1.0, "pack")
+        p256._est.update(4_000_000, 0.005, "raw")   # > _FAST_LINK_MBPS
+        p256._est.update(4_000_000, 0.005, "raw")
+        assert p256._est.choose(("raw", "pack"), "pack") == "raw"
+        # and the small-batch verdict is untouched
+        assert p64._est.choose(("raw", "pack"), "pack") == "pack"
+    finally:
+        p64.close(); p256.close(); p64b.close()

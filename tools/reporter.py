@@ -65,6 +65,32 @@ def make_corpus(seconds: float, rate: int = 44100):
     return corpus
 
 
+RESOURCE_DIR = "/root/reference/src/resource"
+REAL_SIGNALS = ("sus109", "sus6", "ras22", "ras103")
+
+
+def load_real_corpus():
+    """The reference's embedded real-audio test signals (16-bit stereo,
+    test_helper.rs:81-125) — the overlapping-material anchor that makes
+    compression rates comparable to reference-built streams (the
+    synthetic corpus is NOT comparable to wikimedia-WAV numbers)."""
+    if not os.path.isdir(RESOURCE_DIR):
+        return {}
+    corpus = {}
+    for name in REAL_SIGNALS:
+        chans = []
+        for ch in (0, 1):
+            path = os.path.join(RESOURCE_DIR, f"testsignal.{name}.ch{ch}.bin")
+            with open(path, "rb") as f:
+                chans.append(
+                    np.frombuffer(f.read(), dtype="<i2").astype(np.int32)
+                )
+        x = np.empty(2 * len(chans[0]), np.int32)
+        x[0::2], x[1::2] = chans
+        corpus[name] = x
+    return corpus
+
+
 def encoder_configs():
     cfgs = {}
     cfgs["default"] = (config.Encoder(), True)
@@ -138,6 +164,39 @@ def main() -> int:
             flush=True,
         )
 
+    # real-audio section: the reference's own embedded signals, the one
+    # corpus this image shares with the reference repo (VERDICT r3 #7)
+    real = load_real_corpus()
+    real_rows = []
+    if real:
+        verified = config.Encoder().into_verified()
+        agg_in = agg_out = agg_ref = 0
+        for cname, interleaved in real.items():
+            src = MemSource(interleaved, 2, 16, rate)
+            stream = flacenc_tpu.encode_with_fixed_block_size(
+                verified, src, 4096, batch_size=256,
+            )
+            data = stream.to_bytes()
+            decoded = decode_stream(parse_stream(data))
+            assert np.array_equal(decoded, interleaved), f"real/{cname}"
+            ref_stream = flacenc_tpu.encode_with_fixed_block_size(
+                verified, MemSource(interleaved, 2, 16, rate), 4096,
+                batch_size=256, strict_lpc=True,
+            )
+            nbytes_in = len(interleaved) * 2
+            real_rows.append((
+                cname, len(data) / nbytes_in,
+                len(data) * 8 / len(interleaved),
+                len(ref_stream.to_bytes()) / nbytes_in,
+            ))
+            agg_in += nbytes_in
+            agg_out += len(data)
+            agg_ref += len(ref_stream.to_bytes())
+        real_rows.append((
+            "ALL", agg_out / agg_in, agg_out * 8 / (agg_in // 2),
+            agg_ref / agg_in,
+        ))
+
     import jax
 
     os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
@@ -166,6 +225,23 @@ def main() -> int:
         f.write("| config | x realtime |\n|---|---|\n")
         for name, _, irtf, _ in rows:
             f.write(f"| {name} | {irtf:.1f} |\n")
+        if real_rows:
+            f.write(
+                "\n## Real audio (reference's embedded test signals)\n\n"
+                "The four `testsignal.*` stereo pairs from the reference "
+                "repo\n(`src/resource/`, real recordings per "
+                "test_helper.rs:81-125) — the only\nreal-audio material "
+                "this image shares with the reference. Default config,\n"
+                "block 4096; `ref (strict proxy)` is the same corpus with "
+                "reference-stable\nfloat semantics (byte-level parity "
+                "mode). These streams are also pinned\nas frozen goldens "
+                "in tests/test_stream_goldens.py.\n\n"
+                "| signal | rate | bits/sample | ref (strict proxy) |\n"
+                "|---|---|---|---|\n"
+            )
+            for cname, rate_, bits, ref_rate in real_rows:
+                f.write(f"| {cname} | {rate_:.5f} | {bits:.4f} "
+                        f"| {ref_rate:.5f} |\n")
     print(f"wrote {args.output}")
     return 0
 
