@@ -37,11 +37,17 @@ def _host_fingerprint() -> str:
     return platform.machine() or "unknown"
 
 
+# only CPU artifacts embed host-ISA code; device-platform caches keep
+# their stable (pre-fingerprint) names so compiled TPU programs survive
+# across sessions
+_tag = (
+    f"{_platform_tag}_{_host_fingerprint()}"
+    if "cpu" in _platform_tag or _platform_tag in ("default", "auto")
+    else _platform_tag
+)
 _cache_dir = os.environ.get(
     "FLACENC_TPU_JAX_CACHE",
-    os.path.expanduser(
-        f"~/.cache/flacenc_tpu_jax_{_platform_tag}_{_host_fingerprint()}"
-    ),
+    os.path.expanduser(f"~/.cache/flacenc_tpu_jax_{_tag}"),
 )
 try:
     os.makedirs(_cache_dir, exist_ok=True)
