@@ -14,7 +14,8 @@ from typing import Tuple
 import numpy as np
 
 from .errors import SourceError
-from .source import Seekable, le_bytes_to_samples, samples_to_le_bytes
+from .source import (Seekable, deinterleave_blocks,
+                     le_bytes_to_samples, samples_to_le_bytes)
 
 
 def read_wav(path: str) -> Tuple[np.ndarray, int, int, int]:
@@ -206,9 +207,7 @@ class WavFileSource(Seekable):
             samples = le_bytes_to_samples(raw, bpsam)
             if context is not None:
                 context.fill_le_bytes(raw, bpsam, blocks=k)
-        return np.ascontiguousarray(
-            samples.reshape(k, block_size, C).transpose(0, 2, 1)
-        )
+        return deinterleave_blocks(samples, k, block_size, C)
 
     def close(self) -> None:
         self._f.close()
