@@ -758,3 +758,33 @@ def test_link_estimators_bucketed_by_payload_shape(monkeypatch):
         assert p64._est.choose(("raw", "pack"), "pack") == "pack"
     finally:
         p64.close(); p256.close(); p64b.close()
+
+
+def test_long_unary_pairs_byte_identical():
+    """Forced rice parameter 0 (prc.max_parameter=0) over a signal with
+    adjacent large spikes exercises every branch of the paired rice
+    emitter: fused pairs, a <=56-bit single next to an over-56 partner,
+    and the put_zeros long-unary fallback — bytes must match the Python
+    serializer exactly."""
+    rng = np.random.default_rng(21)
+    n = 4096 * 2
+    x = rng.integers(-4, 5, 2 * n).astype(np.int32)
+    # adjacent spike pairs (both channels) of varying magnitude: singles
+    # beyond 56 bits, pairs straddling the 56-bit fuse threshold
+    for pos, mag in ((300, 20), (301, 24), (900, 2000), (901, 1800),
+                     (2048, 60), (2049, 3), (5000, 4000), (7777, 12)):
+        x[2 * pos] = mag
+        x[2 * pos + 1] = -mag
+    c = config.Encoder()
+    c.subframe_coding.prc.max_parameter = 0
+    cfg = c.into_verified()
+    d_py = be.encode_with_fixed_block_size(
+        cfg, source.MemSource(x, 2, 16, 44100), 4096,
+        batch_size=2, packer="python",
+    ).to_bytes()
+    d_n2 = be.encode_with_fixed_block_size(
+        cfg, source.MemSource(x, 2, 16, 44100), 4096,
+        batch_size=2, packer="native2",
+    ).to_bytes()
+    assert d_n2 == d_py
+    assert np.array_equal(decode_stream(parse_stream(d_n2)), x)
