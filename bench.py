@@ -175,12 +175,18 @@ def _supervise() -> int:
                 val = obj.get("value", 0) or 0
                 if val <= 0:
                     continue
-                # forward any line that doesn't regress the best value
-                # (equal-value lines carry richer extras)
+                final = not obj.get("extra", {}).get("degraded")
                 if val >= best["value"]:
                     best["value"] = val
+                # forward lines that don't regress the best value
+                # (equal-value lines carry richer extras), and ALWAYS
+                # forward complete final lines — a finished best-of-N
+                # measurement with full extras beats a slightly-higher
+                # partial from a crashed earlier attempt, and the driver
+                # records the LAST line
+                if val >= best["value"] or final:
                     print(line, flush=True)
-                if not obj.get("extra", {}).get("degraded"):
+                if final:
                     saw_final[0] = True
 
         reader = threading.Thread(target=pump, daemon=True)
@@ -239,7 +245,7 @@ def _supervise() -> int:
     return 0
 
 
-def _encode_corpus(audio, rate, bps, block, batch, packer, trials,
+def _timed_trials(audio, rate, bps, block, batch, packer, trials,
                    trial_gap_s, emit_partial, extra_base):
     """Timed encode trials; emits a degraded result line after each."""
     from flacenc_tpu import config
@@ -336,7 +342,7 @@ def main_worker() -> None:
     audio = make_audio(seconds, rate)
     extra_base = {"seconds_encoded": seconds, "batch": batch,
                   "packer": packer}
-    best, data, stats = _encode_corpus(
+    best, data, stats = _timed_trials(
         audio, rate, bps, block, batch, packer, trials, trial_gap,
         emit_partial=True, extra_base=extra_base,
     )
@@ -441,7 +447,7 @@ def main_local_ceiling() -> None:
         "backend": "cpu (tpu tunnel unavailable during bench window)",
         "seconds_encoded": seconds, "batch": batch, "packer": packer,
     }
-    best, data, stats = _encode_corpus(
+    best, data, stats = _timed_trials(
         audio, rate, bps, block, batch, packer, trials=2, trial_gap_s=2.0,
         emit_partial=True, extra_base=extra_base,
     )

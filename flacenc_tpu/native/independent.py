@@ -102,10 +102,15 @@ def decode_stream(data: bytes) -> IndependentDecode:
     if len(data) >= 42:
         total = int.from_bytes(data[21:26], "big") & ((1 << 36) - 1)
         channels = ((data[20] >> 1) & 0x7) + 1
-        # clamp by what the payload could possibly hold (>= 1 bit per
-        # sample) so a corrupt/malicious 36-bit field cannot demand a
-        # ~2^36-element allocation and OOM the fuzz/test process
-        first_guess = min(total * channels, len(data) * 8)
+        # clamp so a corrupt/malicious 36-bit total cannot demand a
+        # ~2^36-element allocation and OOM the fuzz/test process. The
+        # bound must stay ABOVE real high-compression ratios (constant
+        # subframes reach ~0.02 bits/sample, i.e. ~400 samples/byte) or
+        # legitimate streams pay a full decode-retry round; 2048
+        # samples/byte clears that by 5x while capping a 1 KB malicious
+        # header at a ~16 MB allocation
+        first_guess = min(total * channels,
+                          max(len(data) * 2048, 1 << 20))
     rc, out = call(first_guess)
     if rc == 1:
         rc, out = call(int(info[8]))

@@ -222,22 +222,24 @@ static inline void write_subframe(
         for (; t + 1 < offset; t += 2) {
             const uint32_t z1 = zigzag(err[t]), z2 = zigzag(err[t + 1]);
             const uint32_t q1 = z1 >> rice_p, q2 = z2 >> rice_p;
-            const int n1 = (int)q1 + rp1, n2 = (int)q2 + rp1;
+            // i64: a q near 2^32 (zigzag of extreme residuals at p=0)
+            // must not wrap negative and slip past the <=56 fused check
+            const int64_t n1 = (int64_t)q1 + rp1, n2 = (int64_t)q2 + rp1;
             if (__builtin_expect(n1 + n2 <= 56, 1)) {
                 const uint64_t v1 = (uint64_t)((z1 & (startbit - 1)) | startbit);
                 const uint64_t v2 = (uint64_t)((z2 & (startbit - 1)) | startbit);
-                w.put((v1 << n2) | v2, n1 + n2);
+                w.put((v1 << n2) | v2, (int)(n1 + n2));
                 continue;
             }
             // rare long-unary pair: emit singly (n > 56 is pathological)
             if (n1 <= 56) {
-                w.put((uint64_t)((z1 & (startbit - 1)) | startbit), n1);
+                w.put((uint64_t)((z1 & (startbit - 1)) | startbit), (int)n1);
             } else {
                 w.put_zeros(q1);
                 w.put((z1 & (startbit - 1)) | startbit, rp1);
             }
             if (n2 <= 56) {
-                w.put((uint64_t)((z2 & (startbit - 1)) | startbit), n2);
+                w.put((uint64_t)((z2 & (startbit - 1)) | startbit), (int)n2);
             } else {
                 w.put_zeros(q2);
                 w.put((z2 & (startbit - 1)) | startbit, rp1);
@@ -247,9 +249,9 @@ static inline void write_subframe(
             const uint32_t z = zigzag(err[t]);
             const uint32_t q = z >> rice_p;
             const uint64_t v = (uint64_t)((z & (startbit - 1)) | startbit);
-            const int n = (int)q + rp1;
+            const int64_t n = (int64_t)q + rp1;
             if (__builtin_expect(n <= 56, 1)) {
-                w.put(v, n);
+                w.put(v, (int)n);
             } else {
                 w.put_zeros(q);
                 w.put(v, rp1);

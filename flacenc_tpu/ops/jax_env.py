@@ -37,12 +37,13 @@ def _host_fingerprint() -> str:
     return platform.machine() or "unknown"
 
 
-# only CPU artifacts embed host-ISA code; device-platform caches keep
-# their stable (pre-fingerprint) names so compiled TPU programs survive
-# across sessions
+# only CPU artifacts embed host-ISA code; every other tag — including
+# "default"/"auto" (JAX_PLATFORMS unset usually resolves to the device
+# backend here) — keeps its stable name so compiled TPU programs
+# survive across sessions. A stale default-tag CPU artifact merely
+# warns-and-recompiles; discarding the whole TPU cache costs minutes.
 _tag = (
-    f"{_platform_tag}_{_host_fingerprint()}"
-    if "cpu" in _platform_tag or _platform_tag in ("default", "auto")
+    f"{_platform_tag}_{_host_fingerprint()}" if "cpu" in _platform_tag
     else _platform_tag
 )
 _cache_dir = os.environ.get(

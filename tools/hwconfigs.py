@@ -113,13 +113,46 @@ def main() -> int:
     backend = jax.default_backend()
     rows = {}
 
+    def write_markdown():
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            f.write("# Hardware config matrix (BASELINE.json north-star configs)\n\n")
+            f.write(f"Backend: `{backend}` ({len(jax.devices())} device(s)); "
+                    f"{args.seconds:.0f}s of audio per config "
+                    f"(best-of-2 trials), batch 256, block 4096.\n\n")
+            f.write("| config | x realtime | bits/sample | device_wait_s | "
+                    "host_pack_s | wall_s | audio_s |\n|---|---|---|---|---|---|---|\n")
+            for name, r in rows.items():
+                if "error" in r:
+                    f.write(f"| {name} | FAILED | | | | | |  <!-- {r['error']} -->\n")
+                    continue
+                f.write(
+                    f"| {name} | {r['x_realtime']} | {r['bits_per_sample']} "
+                    f"| {r.get('device_wait_s', '')} | {r.get('host_pack_s', '')} "
+                    f"| {r['wall_s']} | {r['audio_s']} |\n"
+                )
+            f.write(
+                "\nReference context (different hardware, real-music corpus — "
+                "NOT directly\ncomparable on compression): flacenc-rs default "
+                "mt 1309.5x / st 331.5x /\nexperimental 212.3x on a GCE "
+                "c2-standard-8 (BASELINE.md).\n"
+            )
+
+
     def run(name, fn):
         if name in skip:
             return
         t0 = time.perf_counter()
-        rows[name] = fn()
+        try:
+            rows[name] = fn()
+        except Exception as e:  # noqa: BLE001 — isolate per-config failures
+            # the tunnel dies mid-matrix; keep the completed rows and say so
+            rows[name] = {"x_realtime": 0.0, "bits_per_sample": 0.0,
+                          "wall_s": 0.0, "audio_s": 0.0,
+                          "error": f"{type(e).__name__}: {e}"[:200]}
         rows[name]["setup_plus_run_s"] = round(time.perf_counter() - t0, 1)
         print(json.dumps({"config": name, **rows[name]}), flush=True)
+        write_markdown()  # incremental: a later crash keeps earlier rows
 
     # 1. fixed-only, mono (st path)
     def fixed_only():
@@ -222,26 +255,7 @@ def main() -> int:
 
     run("corpus (16 files, stereo 16/44.1)", corpus)
 
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    with open(args.out, "w") as f:
-        f.write("# Hardware config matrix (BASELINE.json north-star configs)\n\n")
-        f.write(f"Backend: `{backend}` ({len(jax.devices())} device(s)); "
-                f"{args.seconds:.0f}s of audio per config "
-                f"(best-of-2 trials), batch 256, block 4096.\n\n")
-        f.write("| config | x realtime | bits/sample | device_wait_s | "
-                "host_pack_s | wall_s | audio_s |\n|---|---|---|---|---|---|---|\n")
-        for name, r in rows.items():
-            f.write(
-                f"| {name} | {r['x_realtime']} | {r['bits_per_sample']} "
-                f"| {r.get('device_wait_s', '')} | {r.get('host_pack_s', '')} "
-                f"| {r['wall_s']} | {r['audio_s']} |\n"
-            )
-        f.write(
-            "\nReference context (different hardware, real-music corpus — "
-            "NOT directly\ncomparable on compression): flacenc-rs default "
-            "mt 1309.5x / st 331.5x /\nexperimental 212.3x on a GCE "
-            "c2-standard-8 (BASELINE.md).\n"
-        )
+    # run() wrote the file incrementally after each config
     print(f"wrote {args.out}")
     return 0
 
