@@ -30,4 +30,7 @@ echo "== 4. profiler trace =="
 timeout 400 python tools/profile.py --trace-dir /tmp/flacenc_trace --seconds 10 \
   && echo "trace at /tmp/flacenc_trace"
 
+echo "== 5. full report (compression + speed + real-audio section) =="
+timeout 900 python tools/reporter.py -o "$OUT/report.md" --seconds 20 2>&1 | tail -6
+
 echo "== done; commit the artifacts =="
