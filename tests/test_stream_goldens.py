@@ -94,3 +94,45 @@ def test_device_default_stream_golden(name):
         config.Encoder().into_verified(), MemSource(x, 2, 16, 44100), 4096
     )
     assert hashlib.sha256(stream.to_bytes()).hexdigest() == STREAM_SHA256[name]
+
+
+# (fixed-only-config stream sha256, variable-blocking [4096,2048,1024]
+# oracle stream sha256) per signal — widens the regression net to the
+# fixed-predictor path and the variable-blocking encoder
+CONFIG_SHA256 = {
+    "sus109": ("d8b81e516f28efb9d3b52949b2938581108f15dd984ecdbbfa91f729c2b1c5e4",
+               "bef9b70ad46e6cc7f3da7fe5e6744db7f7bbcd1efe7a28e83c20df2f0e7b7525"),
+    "sus6": ("eb0ba1946dc4cebc6ff7eb23ed656d1d35766fc335fbf3e8b3eb5ddbf269e7d1",
+             "6fb8892cbe12e17fa07e4fe3a5fb2cada71fe91018505a36500025d2b8365514"),
+    "ras22": ("d8e71c4b3b32b74f3d183b38dacc624dfbfa0c76acd22e7b4aa0bf38f41e5602",
+              "d3ea5a496a91bbcbe2213ee7e4f6262be470f5e973f987b6d9a140f01404dcff"),
+    "ras103": ("d7be2ee870547d96b92fbf33d71c70a588eba6b510ad067e0d3306bee6290802",
+               "3e71737d481622261b1454801b71967b0cefe220729846e723ade4e37d564cc4"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CONFIG_SHA256))
+def test_fixed_only_stream_golden(name):
+    """Fixed-predictor-only config (the reference's st-like path): device
+    pipeline bytes pinned; the numpy oracle agreed at pin time."""
+    c = config.Encoder()
+    c.subframe_coding.use_lpc = False
+    x = _stereo(name)
+    stream = be.encode_with_fixed_block_size(
+        c.into_verified(), MemSource(x, 2, 16, 44100), 4096
+    )
+    got = hashlib.sha256(stream.to_bytes()).hexdigest()
+    assert got == CONFIG_SHA256[name][0]
+
+
+@pytest.mark.parametrize("name", sorted(CONFIG_SHA256))
+def test_variable_block_stream_golden(name):
+    """Variable-blocking encoder output pinned (schedule 4096/2048/1024,
+    default config, oracle path)."""
+    x = _stereo(name)
+    stream = re.encode_with_variable_block_size(
+        config.Encoder().into_verified(), MemSource(x, 2, 16, 44100),
+        [4096, 2048, 1024],
+    )
+    got = hashlib.sha256(stream.to_bytes()).hexdigest()
+    assert got == CONFIG_SHA256[name][1]
