@@ -1240,8 +1240,9 @@ class BatchPipeline:
             from ..ops import upack
 
             return upack.pack_delta(chunk)
-        up = chunk.astype(np.int16) if self.bps <= 16 else chunk
-        return None, (up,)
+        if self.bps > 16 or chunk.dtype == np.int16:
+            return None, (chunk,)
+        return None, (chunk.astype(np.int16),)
 
     def _fetch(self, enc):
         """io thread: blocking device->host fetch + host-side split."""
@@ -1330,7 +1331,12 @@ class BatchPipeline:
                     self._wu_sticky[(o, p)] = wu
         else:
             wire = None
-            up = chunk.astype(np.int16) if self.bps <= 16 else chunk
+            if self.bps > 16:
+                up = chunk
+            elif chunk.dtype == np.int16:  # narrow-storage fast path
+                up = chunk
+            else:
+                up = chunk.astype(np.int16)
             payload = (up,)
         if self.async_compile and not self._wire_ready(wire):
             # compile the fresh variant off-thread; ship THIS batch on a

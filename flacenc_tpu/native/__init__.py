@@ -158,10 +158,18 @@ def pack_frames_recompute(
     """
     lib = _load()
     assert lib is not None, f"native packer unavailable: {_load_error}"
-    if getattr(lib.flacenc_pack_frames_recompute, "argtypes", None) is None:
-        lib.flacenc_pack_frames_recompute.restype = ctypes.c_int64
-        lib.flacenc_pack_frames_recompute.argtypes = (
-            [ctypes.POINTER(ctypes.c_int32)] * 9
+    # int16 blocks take the `16` entry point (bps<=16 fast path: raw
+    # channels are sign-extended inline in C++, so no int32 copy of the
+    # batch is ever materialized); any other dtype widens to int32.
+    narrow = blocks.dtype == np.int16
+    entry = (lib.flacenc_pack_frames_recompute16 if narrow
+             else lib.flacenc_pack_frames_recompute)
+    blk_ctype = ctypes.c_int16 if narrow else ctypes.c_int32
+    if getattr(entry, "argtypes", None) is None:
+        entry.restype = ctypes.c_int64
+        entry.argtypes = (
+            [ctypes.POINTER(blk_ctype)]
+            + [ctypes.POINTER(ctypes.c_int32)] * 8
             + [ctypes.POINTER(ctypes.c_int64)]
             + [ctypes.c_int32] * 13
             + [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
@@ -178,7 +186,8 @@ def pack_frames_recompute(
     def c32(a):
         return np.ascontiguousarray(a, dtype=np.int32)
 
-    blocks = c32(blocks); assign = c32(assign); sf_type = c32(sf_type)
+    blocks = (np.ascontiguousarray(blocks) if narrow else c32(blocks))
+    assign = c32(assign); sf_type = c32(sf_type)
     order = c32(order); qcoefs = c32(qcoefs); shift = c32(shift)
     rice_order = c32(rice_order); rice_params = c32(rice_params)
     ch_tag = c32(ch_tag)
@@ -187,8 +196,8 @@ def pack_frames_recompute(
     capacity = F * (64 + C * (T * 5 + 64))
     out = _scratch_out(capacity)
     sizes = np.zeros(F, dtype=np.int64)
-    total = lib.flacenc_pack_frames_recompute(
-        _ptr(blocks, ctypes.c_int32), _ptr(assign, ctypes.c_int32),
+    total = entry(
+        _ptr(blocks, blk_ctype), _ptr(assign, ctypes.c_int32),
         _ptr(sf_type, ctypes.c_int32), _ptr(order, ctypes.c_int32),
         _ptr(qcoefs, ctypes.c_int32), _ptr(shift, ctypes.c_int32),
         _ptr(rice_order, ctypes.c_int32), _ptr(rice_params, ctypes.c_int32),
@@ -346,22 +355,25 @@ def pack_upload(chunk: np.ndarray, order: int, width: int):
     ((..., T*width/32) uint32 words, (..., 2) int32 firsts)."""
     lib = _load()
     assert lib is not None, f"native packer unavailable: {_load_error}"
-    fn = lib.flacenc_pack_upload
+    narrow = chunk.dtype == np.int16
+    fn = lib.flacenc_pack_upload16 if narrow else lib.flacenc_pack_upload
+    in_ctype = ctypes.c_int16 if narrow else ctypes.c_int32
     if getattr(fn, "argtypes", None) is None:
         fn.restype = None
         fn.argtypes = [
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(in_ctype), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
         ]
-    x = np.ascontiguousarray(chunk, dtype=np.int32)
+    x = (np.ascontiguousarray(chunk) if narrow
+         else np.ascontiguousarray(chunk, dtype=np.int32))
     T = x.shape[-1]
     assert T % 16 == 0 and T * width % 32 == 0, (T, width)
     rows = x.size // T if T else 0
     words = np.empty(x.shape[:-1] + (T * width // 32,), np.uint32)
     firsts = np.empty(x.shape[:-1] + (2,), np.int32)
     fn(
-        _ptr(x, ctypes.c_int32), rows, T, order, width,
+        _ptr(x, in_ctype), rows, T, order, width,
         _ptr(words, ctypes.c_uint32), _ptr(firsts, ctypes.c_int32),
     )
     return words, firsts
@@ -404,20 +416,23 @@ def scan_wire(chunk: np.ndarray, stride: int = 1):
     lib = _load()
     if lib is None or not hasattr(lib, "flacenc_scan_wire"):
         return NotImplemented
-    fn = lib.flacenc_scan_wire
+    narrow = chunk.dtype == np.int16
+    fn = lib.flacenc_scan_wire16 if narrow else lib.flacenc_scan_wire
+    in_ctype = ctypes.c_int16 if narrow else ctypes.c_int32
     if getattr(fn, "argtypes", None) is None:
         fn.restype = None
         fn.argtypes = [
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(in_ctype), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ]
-    x = np.ascontiguousarray(chunk, dtype=np.int32)
+    x = (np.ascontiguousarray(chunk) if narrow
+         else np.ascontiguousarray(chunk, dtype=np.int32))
     T = x.shape[-1]
     rows = x.size // T if T else 0
     sums = np.zeros((rows, 2, 26), np.int64)
     mm = np.zeros(4, np.int32)
-    fn(_ptr(x, ctypes.c_int32), rows, T, stride,
+    fn(_ptr(x, in_ctype), rows, T, stride,
        _ptr(sums, ctypes.c_int64), _ptr(mm, ctypes.c_int32))
     return sums.reshape(x.shape[:-1] + (2, 26)), mm
 
@@ -429,16 +444,19 @@ def pack_rice(chunk: np.ndarray, order: int, p: int, wu: int):
     or None if a row overflows the unary budget (caller falls back)."""
     lib = _load()
     assert lib is not None, f"native packer unavailable: {_load_error}"
-    fn = lib.flacenc_pack_rice
+    narrow = chunk.dtype == np.int16
+    fn = lib.flacenc_pack_rice16 if narrow else lib.flacenc_pack_rice
+    in_ctype = ctypes.c_int16 if narrow else ctypes.c_int32
     if getattr(fn, "argtypes", None) is None:
         fn.restype = ctypes.c_int32
         fn.argtypes = [
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(in_ctype), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
             ctypes.POINTER(ctypes.c_int32),
         ]
-    x = np.ascontiguousarray(chunk, dtype=np.int32)
+    x = (np.ascontiguousarray(chunk) if narrow
+         else np.ascontiguousarray(chunk, dtype=np.int32))
     T = x.shape[-1]
     assert T * p % 32 == 0, (T, p)
     rows = x.size // T if T else 0
@@ -446,7 +464,7 @@ def pack_rice(chunk: np.ndarray, order: int, p: int, wu: int):
     unary = np.empty(x.shape[:-1] + (wu,), np.uint32)
     firsts = np.empty(x.shape[:-1] + (2,), np.int32)
     ok = fn(
-        _ptr(x, ctypes.c_int32), rows, T, order, p, wu,
+        _ptr(x, in_ctype), rows, T, order, p, wu,
         _ptr(lo, ctypes.c_uint32), _ptr(unary, ctypes.c_uint32),
         _ptr(firsts, ctypes.c_int32),
     )

@@ -168,8 +168,12 @@ static inline void write_frame_header(
 }
 
 // Shared subframe writer for the errors-available case (bitrepr.rs:433-597).
+// Templated on the stored-signal element type: int16 input blocks (the
+// bps<=16 host fast path — half the memory traffic end-to-end) read
+// their warm-up/verbatim/constant samples with inline sign-extension.
+template <typename S>
 static inline void write_subframe(
-    BitWriter& w, const int32_t* sig, const int32_t* err,
+    BitWriter& w, const S* sig, const int32_t* err,
     int st, int ord, const int32_t* qc, int32_t shift_v,
     int precision, int bps, int p_order, const int32_t* params, int T) {
     if (st == T_CONSTANT) {
@@ -268,6 +272,17 @@ static inline void fixed_errors_inplace(uint32_t* err, int T, int order) {
         for (int t = T - 1; t >= 1; --t) err[t] -= err[t - 1];
 }
 
+// Widening copy-in for the fixed cascade (int16 blocks sign-extend; the
+// int32 case is a plain memcpy the compiler emits as such).
+template <typename S>
+static inline void copy_widen(int32_t* dst, const S* src, int T) {
+    for (int t = 0; t < T; ++t) dst[t] = (int32_t)src[t];
+}
+template <>
+inline void copy_widen<int32_t>(int32_t* dst, const int32_t* src, int T) {
+    memcpy(dst, src, (size_t)T * sizeof(int32_t));
+}
+
 // QLPC residual FIR, i64 accumulate >> shift, wrap to i32 (lpc.rs:306-390);
 // identical to the device kernel ops/lpc.py:compute_error for t >= order.
 // Tiled tap-outer / sample-inner: a 64-sample accumulator tile lives on
@@ -277,8 +292,9 @@ static inline void fixed_errors_inplace(uint32_t* err, int T, int order) {
 // host. Each inner loop is an independent widening multiply-add the
 // compiler auto-vectorizes; i64 adds commute, so the sum is exact
 // regardless of tap order.
+template <typename S>
 static inline void lpc_errors(
-    const int32_t* sig, int T, int order, const int32_t* qc, int32_t shift_v,
+    const S* sig, int T, int order, const int32_t* qc, int32_t shift_v,
     int32_t* err) {
     for (int t = 0; t < order; ++t) err[t] = 0;
     constexpr int TILE = 64;
@@ -289,7 +305,7 @@ static inline void lpc_errors(
         for (int i = 0; i < n; ++i) a[i] = 0;
         for (int k = 0; k < order; ++k) {
             const int64_t c = qc[k];
-            const int32_t* s = sig + t0 - 1 - k;
+            const S* s = sig + t0 - 1 - k;
             for (int i = 0; i < n; ++i) a[i] += c * (int64_t)s[i];
         }
         for (int i = 0; i < n; ++i)
@@ -362,10 +378,33 @@ int64_t flacenc_pack_frames(
 
 namespace {
 
+// One channel's recompute + serialize: chosen-predictor residual from the
+// stored signal, then the subframe bitstream. Templated on the stored
+// signal element type (raw int16/int32 input channel vs derived int32
+// mid/side).
+template <typename S>
+static inline void pack_channel(
+    BitWriter& w, const S* sig, int st, int ord,
+    const int32_t* qc, int32_t shift_v, int precision, int bps,
+    int32_t r_order, const int32_t* r_params, int T, int32_t* err_buf) {
+    const int32_t* err = nullptr;
+    if (st == T_FIXED) {
+        copy_widen(err_buf, sig, T);
+        fixed_errors_inplace((uint32_t*)err_buf, T, ord);
+        err = err_buf;
+    } else if (st == T_LPC) {
+        lpc_errors(sig, T, ord, qc, shift_v, err_buf);
+        err = err_buf;
+    }
+    write_subframe(w, sig, err, st, ord, qc, shift_v, precision, bps,
+                   r_order, r_params, T);
+}
+
 // Shared parameters of one decisions-only batch (see
-// flacenc_pack_frames_recompute below).
+// flacenc_pack_frames_recompute below). `blocks` element type = S.
+template <typename S>
 struct RecomputeBatch {
-    const int32_t* blocks;
+    const S* blocks;
     const int32_t* assign;
     const int32_t* sf_type;
     const int32_t* order;
@@ -384,8 +423,12 @@ struct RecomputeBatch {
 // Packs frames [f_begin, f_end) back-to-back starting at `dst`; returns
 // bytes written, or -1 if `dst_capacity` would be exceeded. Thread-safe
 // across disjoint frame ranges (own scratch, disjoint outputs).
+// Templated on the input-block element type: raw channels are read as S
+// (int16 on the bps<=16 fast path) while derived mid/side channels are
+// always int32 (a side sample spans bps+1 bits, datatype.rs:1145-1160).
+template <typename S>
 static int64_t pack_recompute_range(
-    const RecomputeBatch& b, int f_begin, int f_end,
+    const RecomputeBatch<S>& b, int f_begin, int f_end,
     uint8_t* dst, int64_t dst_capacity, int64_t* frame_sizes) {
     const int C = b.C, T = b.T;
     const int64_t worst_frame = 32 + (int64_t)C * ((int64_t)T * 5 + 64);
@@ -410,13 +453,14 @@ static int64_t pack_recompute_range(
                            b.bs_tag, b.bs_extra_bits, b.bs_extra_val,
                            b.sr_tag, b.sr_extra_bits, b.sr_extra_val, b.ss_tag);
 
-        // stored-channel signal pointers
-        const int32_t* stored[8];
+        // stored-channel signal pointers: raw (type S) or derived (int32)
+        const S* raw[8];
+        const int32_t* derived[8];
+        for (int c = 0; c < C; ++c) { raw[c] = nullptr; derived[c] = nullptr; }
         if (C == 2) {
-            const int32_t* l = b.blocks + (size_t)f * 2 * T;
-            const int32_t* r = l + T;
+            const S* l = b.blocks + (size_t)f * 2 * T;
+            const S* r = l + T;
             const int a = b.assign[f] & 3;  // codes 0..3 (defensive mask)
-            const int32_t* cand[4] = {l, r, nullptr, nullptr};
             const int s0 = kSlot0[a], s1 = kSlot1[a];
             if (s0 >= 2 || s1 >= 2) {  // need mid and/or side
                 int32_t* mid = sig_buf;
@@ -426,14 +470,14 @@ static int64_t pack_recompute_range(
                     mid[t] = (int32_t)((lv + rv) >> 1);
                     side[t] = (int32_t)(lv - rv);
                 }
-                cand[2] = mid;
-                cand[3] = side;
+                derived[0] = (s0 >= 2) ? (s0 == 2 ? mid : side) : nullptr;
+                derived[1] = (s1 >= 2) ? (s1 == 2 ? mid : side) : nullptr;
             }
-            stored[0] = cand[s0];
-            stored[1] = cand[s1];
+            if (s0 < 2) raw[0] = (s0 == 0) ? l : r;
+            if (s1 < 2) raw[1] = (s1 == 0) ? l : r;
         } else {
             for (int c = 0; c < C; ++c)
-                stored[c] = b.blocks + ((size_t)f * C + c) * T;
+                raw[c] = b.blocks + ((size_t)f * C + c) * T;
         }
 
         int tag = b.ch_tag[f];
@@ -442,23 +486,19 @@ static int64_t pack_recompute_range(
             if ((tag == 8 && c == 1) || (tag == 9 && c == 0) || (tag == 10 && c == 1))
                 bps += 1;
             const size_t idx = (size_t)f * C + c;
-            const int st = b.sf_type[idx];
-            const int ord = b.order[idx];
-            const int32_t* sig = stored[c];
-            const int32_t* err = nullptr;
-            if (st == T_FIXED) {
-                memcpy(err_buf, sig, (size_t)T * 4);
-                fixed_errors_inplace((uint32_t*)err_buf, T, ord);
-                err = err_buf;
-            } else if (st == T_LPC) {
-                lpc_errors(sig, T, ord, b.qcoefs + idx * 24, b.shift[idx],
-                           err_buf);
-                err = err_buf;
+            if (raw[c]) {
+                pack_channel<S>(w, raw[c], b.sf_type[idx], b.order[idx],
+                                b.qcoefs + idx * 24, b.shift[idx],
+                                b.precision, bps, b.rice_order[idx],
+                                b.rice_params + idx * b.max_parts, T, err_buf);
+            } else {
+                pack_channel<int32_t>(w, derived[c], b.sf_type[idx],
+                                      b.order[idx], b.qcoefs + idx * 24,
+                                      b.shift[idx], b.precision, bps,
+                                      b.rice_order[idx],
+                                      b.rice_params + idx * b.max_parts, T,
+                                      err_buf);
             }
-            write_subframe(w, sig, err, st, ord,
-                           b.qcoefs + idx * 24, b.shift[idx], b.precision, bps,
-                           b.rice_order[idx],
-                           b.rice_params + idx * b.max_parts, T);
         }
 
         w.align();
@@ -471,10 +511,6 @@ static int64_t pack_recompute_range(
     delete[] err_buf;
     return total;
 }
-
-}  // namespace
-
-extern "C" {
 
 // Packs F frames from DECISIONS ONLY: the device ships per-channel choices
 // (type/order/coefs/rice params) and this packer recomputes the stored
@@ -491,8 +527,9 @@ extern "C" {
 // left (order-preserving memmove) — frames are independent, so the bytes
 // are identical to the sequential path. `out_capacity` must then be
 // >= F * (32 + C*(T*5 + 64)) (the wrapper always sizes it so).
-int64_t flacenc_pack_frames_recompute(
-    const int32_t* blocks,        // (F, C, T) raw input channels
+template <typename S>
+static int64_t pack_frames_recompute_impl(
+    const S* blocks,              // (F, C, T) raw input channels
     const int32_t* assign,        // (F,)
     const int32_t* sf_type,       // (F, C)
     const int32_t* order,         // (F, C)
@@ -510,11 +547,11 @@ int64_t flacenc_pack_frames_recompute(
     uint8_t* out, int64_t out_capacity,
     int64_t* frame_sizes, int32_t n_threads) {
     if (C < 1 || C > 8) return -2;  // MAX_CHANNELS (constant.rs:60)
-    const RecomputeBatch b{blocks, assign, sf_type, order, qcoefs, shift,
-                           rice_order, rice_params, ch_tag, frame_numbers,
-                           F, C, T, max_parts, bps_base, precision,
-                           bs_tag, bs_extra_bits, bs_extra_val,
-                           sr_tag, sr_extra_bits, sr_extra_val, ss_tag};
+    const RecomputeBatch<S> b{blocks, assign, sf_type, order, qcoefs, shift,
+                              rice_order, rice_params, ch_tag, frame_numbers,
+                              F, C, T, max_parts, bps_base, precision,
+                              bs_tag, bs_extra_bits, bs_extra_val,
+                              sr_tag, sr_extra_bits, sr_extra_val, ss_tag};
     const int64_t worst_frame = 32 + (int64_t)C * ((int64_t)T * 5 + 64);
     if (n_threads > F) n_threads = F;
     if (n_threads <= 1 || (int64_t)F * worst_frame > out_capacity)
@@ -550,13 +587,53 @@ int64_t flacenc_pack_frames_recompute(
     return total;
 }
 
+}  // namespace
 
 // Streaming MD5 is done in Python via hashlib (C speed already).
 
-
-}  // extern "C"
-
 extern "C" {
+
+// int32 blocks (hi-res / generic path).
+int64_t flacenc_pack_frames_recompute(
+    const int32_t* blocks, const int32_t* assign, const int32_t* sf_type,
+    const int32_t* order, const int32_t* qcoefs, const int32_t* shift,
+    const int32_t* rice_order, const int32_t* rice_params,
+    const int32_t* ch_tag, const int64_t* frame_numbers,
+    int32_t F, int32_t C, int32_t T, int32_t max_parts,
+    int32_t bps_base, int32_t precision,
+    int32_t bs_tag, int32_t bs_extra_bits, int32_t bs_extra_val,
+    int32_t sr_tag, int32_t sr_extra_bits, int32_t sr_extra_val,
+    int32_t ss_tag, uint8_t* out, int64_t out_capacity,
+    int64_t* frame_sizes, int32_t n_threads) {
+    return pack_frames_recompute_impl<int32_t>(
+        blocks, assign, sf_type, order, qcoefs, shift, rice_order,
+        rice_params, ch_tag, frame_numbers, F, C, T, max_parts, bps_base,
+        precision, bs_tag, bs_extra_bits, bs_extra_val, sr_tag,
+        sr_extra_bits, sr_extra_val, ss_tag, out, out_capacity,
+        frame_sizes, n_threads);
+}
+
+// int16 blocks: the bps<=16 host fast path — raw channels are read with
+// inline sign-extension, so the host never materializes an int32 copy of
+// the batch (half the deinterleave/pack memory traffic).
+int64_t flacenc_pack_frames_recompute16(
+    const int16_t* blocks, const int32_t* assign, const int32_t* sf_type,
+    const int32_t* order, const int32_t* qcoefs, const int32_t* shift,
+    const int32_t* rice_order, const int32_t* rice_params,
+    const int32_t* ch_tag, const int64_t* frame_numbers,
+    int32_t F, int32_t C, int32_t T, int32_t max_parts,
+    int32_t bps_base, int32_t precision,
+    int32_t bs_tag, int32_t bs_extra_bits, int32_t bs_extra_val,
+    int32_t sr_tag, int32_t sr_extra_bits, int32_t sr_extra_val,
+    int32_t ss_tag, uint8_t* out, int64_t out_capacity,
+    int64_t* frame_sizes, int32_t n_threads) {
+    return pack_frames_recompute_impl<int16_t>(
+        blocks, assign, sf_type, order, qcoefs, shift, rice_order,
+        rice_params, ch_tag, frame_numbers, F, C, T, max_parts, bps_base,
+        precision, bs_tag, bs_extra_bits, bs_extra_val, sr_tag,
+        sr_extra_bits, sr_extra_val, ss_tag, out, out_capacity,
+        frame_sizes, n_threads);
+}
 
 // LPC/fixed synthesis for the decoder (decode.rs:159-177):
 // out[t] = ((sum_k c[k] * out[t-1-k]) >> shift) + residual[t], t >= order.
@@ -945,14 +1022,24 @@ int32_t flacenc_scan_upload(
     return 1;
 }
 
-void flacenc_pack_upload(
-    const int32_t* x, int64_t rows, int64_t T,
+}  // extern "C"
+
+namespace {
+
+// Templated impls of the wire pack/scan passes: S = int32 (generic) or
+// int16 (the bps<=16 host fast path — no int32 copy of the batch ever
+// exists; integral promotion sign-extends reads, and all delta arithmetic
+// stays wrapping int32 so the bytes are identical for values that fit
+// int16).
+template <typename S>
+static void pack_upload_impl(
+    const S* x, int64_t rows, int64_t T,
     int32_t order, int32_t width,
     uint32_t* words, int32_t* firsts) {
     const int64_t W = T * width / 32;
     const uint32_t mask = (1u << width) - 1u;
     for (int64_t r = 0; r < rows; ++r) {
-        const int32_t* xr = x + r * T;
+        const S* xr = x + r * T;
         uint32_t* wr = words + r * W;
         firsts[r * 2 + 0] = xr[0];
         firsts[r * 2 + 1] = (T > 1) ? xr[1] : xr[0];
@@ -996,12 +1083,13 @@ void flacenc_pack_upload(
 // scan: per-row partial sums S[r][o-1][p] = sum_t (z_o[t] >> p) for
 // o in {1,2}, p in 0..25 — everything the host needs to choose
 // (order, p) and size the unary budget without a second data pass.
-void flacenc_scan_rice(
-    const int32_t* x, int64_t rows, int64_t T,
+template <typename S>
+static void scan_rice_impl(
+    const S* x, int64_t rows, int64_t T,
     int64_t* sums /* rows * 2 * NP (= 26) entries */) {
     const int NP = 26;
     for (int64_t r = 0; r < rows; ++r) {
-        const int32_t* xr = x + r * T;
+        const S* xr = x + r * T;
         int64_t* s1 = sums + r * 2 * NP;
         int64_t* s2 = s1 + NP;
         for (int i = 0; i < 2 * NP; ++i) s1[i] = 0;
@@ -1031,9 +1119,10 @@ void flacenc_scan_rice(
 // per 256-block stereo batch on a single-core 2.1 GHz host; this fused
 // pass measures a few ms. Exact for arbitrary int32 input (wrapping
 // deltas; z >> p sums over T <= 2^20 fit int64).
-void flacenc_scan_wire(
-    const int32_t* x, int64_t rows, int64_t T, int64_t stride,
-    int64_t* sums /* rows*2*18 */, int32_t* mm /* [lo1,hi1,lo2,hi2] */) {
+template <typename S>
+static void scan_wire_impl(
+    const S* x, int64_t rows, int64_t T, int64_t stride,
+    int64_t* sums /* rows*2*26 (NP) */, int32_t* mm /* [lo1,hi1,lo2,hi2] */) {
     const int NP = 26;
     mm[0] = mm[1] = mm[2] = mm[3] = 0;
     if (T < 1) return;
@@ -1045,7 +1134,7 @@ void flacenc_scan_wire(
     uint32_t* z2 = z2v.data();
     int32_t lo1 = 0, hi1 = 0, lo2 = 0, hi2 = 0;
     for (int64_t r = 0; r < rows; ++r) {
-        const int32_t* xr = x + r * T;
+        const S* xr = x + r * T;
         // d1/d2 + zigzag + min/max, all unit-stride elementwise over t
         // (ternary min/max and zigzag vectorize; the branchy form stalls).
         // min/max stay EXACT (full pass) — the fixed-width wire's field
@@ -1109,8 +1198,9 @@ void flacenc_scan_wire(
 // pack at fixed (order, p): lo plane (rows x T*p/32 words) + unary
 // substream (rows x Wu words, zero-padded). Returns 0 if any row's
 // unary bits overflow Wu*32 (caller falls back), else 1.
-int32_t flacenc_pack_rice(
-    const int32_t* x, int64_t rows, int64_t T,
+template <typename S>
+static int32_t pack_rice_impl(
+    const S* x, int64_t rows, int64_t T,
     int32_t order, int32_t p, int64_t Wu,
     uint32_t* lo_words, uint32_t* unary_words, int32_t* firsts) {
     const int64_t Wl = T * p / 32;
@@ -1123,7 +1213,7 @@ int32_t flacenc_pack_rice(
     std::vector<uint32_t> zv((size_t)T);
     uint32_t* z = zv.data();
     for (int64_t r = 0; r < rows; ++r) {
-        const int32_t* xr = x + r * T;
+        const S* xr = x + r * T;
         uint32_t* lw = lo_words + r * Wl;
         uint32_t* uw = unary_words + r * Wu;
         for (int64_t i = 0; i < Wu; ++i) uw[i] = 0;
@@ -1175,6 +1265,56 @@ int32_t flacenc_pack_rice(
         }
     }
     return 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+void flacenc_pack_upload(
+    const int32_t* x, int64_t rows, int64_t T, int32_t order, int32_t width,
+    uint32_t* words, int32_t* firsts) {
+    pack_upload_impl<int32_t>(x, rows, T, order, width, words, firsts);
+}
+
+void flacenc_pack_upload16(
+    const int16_t* x, int64_t rows, int64_t T, int32_t order, int32_t width,
+    uint32_t* words, int32_t* firsts) {
+    pack_upload_impl<int16_t>(x, rows, T, order, width, words, firsts);
+}
+
+void flacenc_scan_rice(
+    const int32_t* x, int64_t rows, int64_t T,
+    int64_t* sums /* rows * 2 * 26 (NP) entries */) {
+    scan_rice_impl<int32_t>(x, rows, T, sums);
+}
+
+void flacenc_scan_wire(
+    const int32_t* x, int64_t rows, int64_t T, int64_t stride,
+    int64_t* sums /* rows*2*26 (NP) */, int32_t* mm) {
+    scan_wire_impl<int32_t>(x, rows, T, stride, sums, mm);
+}
+
+void flacenc_scan_wire16(
+    const int16_t* x, int64_t rows, int64_t T, int64_t stride,
+    int64_t* sums /* rows*2*26 (NP) */, int32_t* mm) {
+    scan_wire_impl<int16_t>(x, rows, T, stride, sums, mm);
+}
+
+int32_t flacenc_pack_rice(
+    const int32_t* x, int64_t rows, int64_t T,
+    int32_t order, int32_t p, int64_t Wu,
+    uint32_t* lo_words, uint32_t* unary_words, int32_t* firsts) {
+    return pack_rice_impl<int32_t>(x, rows, T, order, p, Wu, lo_words,
+                                   unary_words, firsts);
+}
+
+int32_t flacenc_pack_rice16(
+    const int16_t* x, int64_t rows, int64_t T,
+    int32_t order, int32_t p, int64_t Wu,
+    uint32_t* lo_words, uint32_t* unary_words, int32_t* firsts) {
+    return pack_rice_impl<int16_t>(x, rows, T, order, p, Wu, lo_words,
+                                   unary_words, firsts);
 }
 
 // Batched exact residual recompute for channels whose device-shipped

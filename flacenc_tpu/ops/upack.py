@@ -297,7 +297,9 @@ def pack_delta(chunk: np.ndarray, order: int = 2):
     fallback — wrapping int16 deltas reconstruct EXACTLY for bps <= 16
     because mod-2^16 equality is equality when the true x fits int16).
     Returns (wire, (deltas int16, firsts int32))."""
-    x = chunk.astype(np.int16)
+    # int16-storage chunks pass through without a copy (x is read-only
+    # below: the delta chain always writes fresh arrays for order >= 1)
+    x = np.asarray(chunk, dtype=np.int16)
     d = x
     for _ in range(order):
         nxt = np.zeros_like(d)

@@ -20,6 +20,8 @@ from .errors import SourceError, VerifyError
 def verify_sample_range(samples: np.ndarray, bits_per_sample: int) -> None:
     """Range-check PCM against bps (source.rs:262-277); shared by FrameBuf
     and the batch pipeline."""
+    if samples.dtype == np.int16 and bits_per_sample >= 16:
+        return  # int16 storage is in range by construction
     lo = -(1 << (bits_per_sample - 1))
     hi = (1 << (bits_per_sample - 1)) - 1
     if samples.size and (int(samples.min()) < lo or int(samples.max()) > hi):
@@ -39,7 +41,14 @@ def _samples_le_view(interleaved: np.ndarray, bytes_per_sample: int):
 
     Explicit '<' dtypes keep the layout platform-independent. The 1/2/4
     cases narrow in one numpy pass (the widths the MD5 context hashes per
-    block — the old 4-byte-view-and-slice path cost 3.5x more)."""
+    block — the old 4-byte-view-and-slice path cost 3.5x more). int16
+    storage (the bps<=16 fast path) IS the wire layout for 2-byte
+    samples — zero conversion on the hash path."""
+    if interleaved.dtype == np.dtype("<i2"):
+        if bytes_per_sample == 2:
+            return np.ascontiguousarray(interleaved)
+        if bytes_per_sample == 1:
+            return interleaved.astype(np.int8)
     a = np.ascontiguousarray(interleaved, dtype="<i4")
     if bytes_per_sample == 4:
         return a
@@ -59,8 +68,13 @@ def deinterleave_blocks(
     Per-channel strided copies measured ~1.8x faster than
     `ascontiguousarray(reshape(k, T, C).transpose(0, 2, 1))` on the
     1-core bench host (~2.9 vs ~5.3 ms per 256x4096 stereo batch) — the
-    deinterleave analogue of arrayutils.rs:140-264's SIMD kernels."""
-    out = np.empty((k, channels, block_size), np.int32)
+    deinterleave analogue of arrayutils.rs:140-264's SIMD kernels.
+
+    The output keeps the input's dtype: int16 storage (the bps<=16 fast
+    path) flows through at half the memory traffic; every consumer
+    (device upload, wire scans, the C++ recompute packer) reads either
+    dtype."""
+    out = np.empty((k, channels, block_size), flat.dtype)
     r = flat.reshape(k, block_size, channels)
     for c in range(channels):
         out[:, c, :] = r[:, :, c]
@@ -240,9 +254,10 @@ class AsyncContext:
                          copy: bool = True, blocks: int = 1) -> None:
         # snapshot: the caller may reuse/mutate its buffer after returning
         # (`copy=False` for stable buffers, e.g. MemSource slices — skips
-        # a multi-MB copy per bulk batch)
+        # a multi-MB copy per bulk batch). Keeps the input dtype: int16
+        # storage hashes via the zero-conversion _samples_le_view path.
         if copy:
-            interleaved = np.array(interleaved, dtype=np.int32, copy=True)
+            interleaved = np.array(interleaved, copy=True)
         self.worker.submit((0, interleaved, 0, blocks))
 
     def fill_le_bytes(self, data: bytes, bytes_per_sample: int,
@@ -394,7 +409,19 @@ class MemSource(Seekable):
         bits_per_sample: int,
         sample_rate: int,
     ) -> None:
-        self._samples = np.asarray(samples, dtype=np.int32)
+        arr = np.asarray(samples, dtype=np.int32)
+        if bits_per_sample <= 16 and (
+            arr.size == 0
+            or (-32768 <= int(arr.min()) and int(arr.max()) <= 32767)
+        ):
+            # int16 storage fast path (bps<=16): halves every downstream
+            # memory pass (deinterleave, upload, C++ recompute reads) and
+            # makes the MD5 hash a zero-conversion view. Out-of-range
+            # samples (vs int16) keep int32 so the per-block range check
+            # still fires exactly where the reference's would
+            # (source.rs:262-277) instead of silently wrapping here.
+            arr = arr.astype(np.int16)
+        self._samples = arr
         self._channels = channels
         self._bits_per_sample = bits_per_sample
         self._sample_rate = sample_rate
@@ -450,7 +477,7 @@ class MemSource(Seekable):
         avail = (len(self._samples) - begin) // (block_size * C)
         k = min(n_blocks, avail)
         if k <= 0:
-            return np.empty((0, C, block_size), np.int32)
+            return np.empty((0, C, block_size), self._samples.dtype)
         flat = self._samples[begin: begin + k * block_size * C]
         if context is not None:
             context.fill_interleaved(flat, copy=False, blocks=k)

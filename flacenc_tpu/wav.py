@@ -199,10 +199,17 @@ class WavFileSource(Seekable):
         self._pos += len(raw)
         if self._bits == 8:
             samples = (
-                np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
+                np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128
             )
             if context is not None:
                 context.fill_interleaved(samples, copy=False, blocks=k)
+        elif bpsam == 2 and self._bits <= 16:
+            # int16 fast path: the file bytes ARE the samples (no widen;
+            # half the deinterleave/upload/pack memory traffic). The
+            # pipeline's per-batch range check still validates bps < 16.
+            samples = np.frombuffer(raw, dtype="<i2")
+            if context is not None:
+                context.fill_le_bytes(raw, bpsam, blocks=k)
         else:
             samples = le_bytes_to_samples(raw, bpsam)
             if context is not None:
