@@ -153,6 +153,31 @@ static inline uint32_t zigzag(int32_t e) {
 
 enum SubframeType { T_CONSTANT = 0, T_VERBATIM = 1, T_FIXED = 2, T_LPC = 3 };
 
+// Two rice samples as one put when they fit 56 bits, else singly (a
+// q+p+1 > 56 run is pathological and takes the put_zeros path).
+static inline void emit_pair(BitWriter& w, uint32_t z1, uint32_t z2,
+                             int64_t n1, int64_t n2, uint32_t q1,
+                             uint32_t q2, uint32_t startbit, int rp1) {
+    if (__builtin_expect(n1 + n2 <= 56, 1)) {
+        const uint64_t v1 = (uint64_t)((z1 & (startbit - 1)) | startbit);
+        const uint64_t v2 = (uint64_t)((z2 & (startbit - 1)) | startbit);
+        w.put((v1 << n2) | v2, (int)(n1 + n2));
+        return;
+    }
+    if (n1 <= 56) {
+        w.put((uint64_t)((z1 & (startbit - 1)) | startbit), (int)n1);
+    } else {
+        w.put_zeros(q1);
+        w.put((z1 & (startbit - 1)) | startbit, rp1);
+    }
+    if (n2 <= 56) {
+        w.put((uint64_t)((z2 & (startbit - 1)) | startbit), (int)n2);
+    } else {
+        w.put_zeros(q2);
+        w.put((z2 & (startbit - 1)) | startbit, rp1);
+    }
+}
+
 // Shared frame-header writer (bitrepr.rs:373-419, fixed blocking).
 static inline void write_frame_header(
     BitWriter& w, uint8_t* frame_start, int ch_tag, uint64_t frame_number,
@@ -215,39 +240,42 @@ static inline void write_subframe(
         offset += part_len;
         const uint32_t startbit = 1u << rice_p;
         const int rp1 = (int)rice_p + 1;
-        // one put per sample PAIR: a sample's q unary zeros followed by
-        // its (p+1)-bit terminator+remainder ARE a single (q+p+1)-bit
-        // value whose top q bits are zero, and two consecutive such
-        // values usually fit one <=56-bit put together (typical
-        // q+p+1 ~ 8-16 bits) — measured ~25% over the one-put-per-
-        // sample loop. Concatenation is associative on an MSB-first
-        // stream, so bytes are identical by construction.
+        // Fused puts: a sample's q unary zeros followed by its (p+1)-bit
+        // terminator+remainder ARE a single (q+p+1)-bit value whose top
+        // q bits are zero, and concatenation is associative on an
+        // MSB-first stream — so 2 or 4 consecutive samples can share one
+        // <=56-bit put with byte-identical output. Typical q+p+1 is
+        // ~8-16 bits: quads fit most audio at p <= ~11 (pairs measured
+        // ~25% over singles; quads another ~15% on the bench corpus).
         int t = start;
-        for (; t + 1 < offset; t += 2) {
+        for (; t + 3 < offset; t += 4) {
             const uint32_t z1 = zigzag(err[t]), z2 = zigzag(err[t + 1]);
+            const uint32_t z3 = zigzag(err[t + 2]), z4 = zigzag(err[t + 3]);
             const uint32_t q1 = z1 >> rice_p, q2 = z2 >> rice_p;
+            const uint32_t q3 = z3 >> rice_p, q4 = z4 >> rice_p;
             // i64: a q near 2^32 (zigzag of extreme residuals at p=0)
             // must not wrap negative and slip past the <=56 fused check
             const int64_t n1 = (int64_t)q1 + rp1, n2 = (int64_t)q2 + rp1;
-            if (__builtin_expect(n1 + n2 <= 56, 1)) {
+            const int64_t n3 = (int64_t)q3 + rp1, n4 = (int64_t)q4 + rp1;
+            if (__builtin_expect(n1 + n2 + n3 + n4 <= 56, 1)) {
                 const uint64_t v1 = (uint64_t)((z1 & (startbit - 1)) | startbit);
                 const uint64_t v2 = (uint64_t)((z2 & (startbit - 1)) | startbit);
-                w.put((v1 << n2) | v2, (int)(n1 + n2));
+                const uint64_t v3 = (uint64_t)((z3 & (startbit - 1)) | startbit);
+                const uint64_t v4 = (uint64_t)((z4 & (startbit - 1)) | startbit);
+                w.put((((((v1 << n2) | v2) << n3) | v3) << n4) | v4,
+                      (int)(n1 + n2 + n3 + n4));
                 continue;
             }
-            // rare long-unary pair: emit singly (n > 56 is pathological)
-            if (n1 <= 56) {
-                w.put((uint64_t)((z1 & (startbit - 1)) | startbit), (int)n1);
-            } else {
-                w.put_zeros(q1);
-                w.put((z1 & (startbit - 1)) | startbit, rp1);
-            }
-            if (n2 <= 56) {
-                w.put((uint64_t)((z2 & (startbit - 1)) | startbit), (int)n2);
-            } else {
-                w.put_zeros(q2);
-                w.put((z2 & (startbit - 1)) | startbit, rp1);
-            }
+            // quad too wide: fall back to pair/single emission
+            emit_pair(w, z1, z2, n1, n2, q1, q2, startbit, rp1);
+            emit_pair(w, z3, z4, n3, n4, q3, q4, startbit, rp1);
+        }
+        if (t + 1 < offset) {  // remaining pair
+            const uint32_t z1 = zigzag(err[t]), z2 = zigzag(err[t + 1]);
+            const uint32_t q1 = z1 >> rice_p, q2 = z2 >> rice_p;
+            emit_pair(w, z1, z2, (int64_t)q1 + rp1, (int64_t)q2 + rp1,
+                      q1, q2, startbit, rp1);
+            t += 2;
         }
         for (; t < offset; ++t) {  // odd tail sample of the partition
             const uint32_t z = zigzag(err[t]);
@@ -272,15 +300,50 @@ static inline void fixed_errors_inplace(uint32_t* err, int T, int order) {
         for (int t = T - 1; t >= 1; --t) err[t] -= err[t - 1];
 }
 
-// Widening copy-in for the fixed cascade (int16 blocks sign-extend; the
-// int32 case is a plain memcpy the compiler emits as such).
+// Direct one-pass form of the cascade: diff^k is linear over Z/2^32, so
+// the order-k difference IS the binomial filter sum_j (-1)^j C(k,j)
+// x[t-j] in wrapping arithmetic — identical bits to k sequential passes
+// for every t >= order (entries below `order` are never read by the
+// residual writer; they are zeroed here for determinism). One read of
+// the signal + one write of the errors replaces the copy + k full
+// read/write passes of the in-place cascade (~5x less memory traffic at
+// order 4 on the 1-core bench host), and reading the signal directly
+// also removes the int16 widening copy on the narrow path.
 template <typename S>
-static inline void copy_widen(int32_t* dst, const S* src, int T) {
-    for (int t = 0; t < T; ++t) dst[t] = (int32_t)src[t];
-}
-template <>
-inline void copy_widen<int32_t>(int32_t* dst, const int32_t* src, int T) {
-    memcpy(dst, src, (size_t)T * sizeof(int32_t));
+static inline void fixed_errors_direct(const S* sig, int T, int order,
+                                       int32_t* err) {
+    const int o = order < T ? order : T;
+    for (int t = 0; t < o; ++t) err[t] = 0;
+    switch (order) {
+        case 0:
+            for (int t = 0; t < T; ++t) err[t] = (int32_t)sig[t];
+            break;
+        case 1:
+            for (int t = 1; t < T; ++t)
+                err[t] = (int32_t)((uint32_t)sig[t] - (uint32_t)sig[t - 1]);
+            break;
+        case 2:
+            for (int t = 2; t < T; ++t)
+                err[t] = (int32_t)((uint32_t)sig[t]
+                                   - 2u * (uint32_t)sig[t - 1]
+                                   + (uint32_t)sig[t - 2]);
+            break;
+        case 3:
+            for (int t = 3; t < T; ++t)
+                err[t] = (int32_t)((uint32_t)sig[t]
+                                   - 3u * (uint32_t)sig[t - 1]
+                                   + 3u * (uint32_t)sig[t - 2]
+                                   - (uint32_t)sig[t - 3]);
+            break;
+        default:  // order 4 (fixed::MAX_LPC_ORDER, constant.rs:95)
+            for (int t = 4; t < T; ++t)
+                err[t] = (int32_t)((uint32_t)sig[t]
+                                   - 4u * (uint32_t)sig[t - 1]
+                                   + 6u * (uint32_t)sig[t - 2]
+                                   - 4u * (uint32_t)sig[t - 3]
+                                   + (uint32_t)sig[t - 4]);
+            break;
+    }
 }
 
 // QLPC residual FIR, i64 accumulate >> shift, wrap to i32 (lpc.rs:306-390);
@@ -389,8 +452,7 @@ static inline void pack_channel(
     int32_t r_order, const int32_t* r_params, int T, int32_t* err_buf) {
     const int32_t* err = nullptr;
     if (st == T_FIXED) {
-        copy_widen(err_buf, sig, T);
-        fixed_errors_inplace((uint32_t*)err_buf, T, ord);
+        fixed_errors_direct(sig, T, ord, err_buf);
         err = err_buf;
     } else if (st == T_LPC) {
         lpc_errors(sig, T, ord, qc, shift_v, err_buf);

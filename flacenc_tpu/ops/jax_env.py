@@ -19,7 +19,21 @@ jax.config.update("jax_enable_x64", True)
 # profile load with "could SIGILL" warnings (cpu_aot_loader) when the
 # cache directory moves between machines — a fresh dir is cheaper than
 # a crashed bench fallback
-_platform_tag = os.environ.get("JAX_PLATFORMS", "default").replace(",", "_") or "auto"
+def _requested_platforms() -> str:
+    """The requested platform at import time: the live jax config wins
+    (the documented CPU-pinning dance is `jax.config.update` BEFORE
+    importing flacenc_tpu — the axon sitecustomize also pins this way,
+    overriding the env), then the env var, else "default"."""
+    try:
+        live = jax.config.jax_platforms  # context-managed flag attribute
+        if live:
+            return str(live)
+    except Exception:  # pragma: no cover - config key rename resilience
+        pass
+    return os.environ.get("JAX_PLATFORMS", "default") or "auto"
+
+
+_platform_tag = _requested_platforms().replace(",", "_")
 
 
 def _host_fingerprint() -> str:
