@@ -294,6 +294,10 @@ def _stage_extras(stats, n_samples, rate):
     return {
         "wall_s": round(wall, 3),
         "read_md5_s": round(stats.get("read_s", 0.0), 3),
+        # submit_s spans verify + wire pack + upload issue + any drains
+        # it triggered (so it OVERLAPS device_wait_s/host_pack_s; it is
+        # published to expose the wire-pack/issue share of the wall)
+        "submit_s": round(stats.get("submit_s", 0.0), 3),
         "host_pack_s": round(stats.get("pack_s", 0.0), 3),
         "device_wait_s": round(dev, 3),
         "host_ceiling_x_realtime": round((n_samples / rate) / host, 1),
@@ -325,10 +329,12 @@ def main_worker() -> None:
     # tail-padding waste of 512
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     packer = os.environ.get("BENCH_PACKER", "auto")
-    # best-of-3: a trial costs ~1-2 s while the tunneled link swings
-    # minute to minute; the extra trial is the cheapest variance cut
-    trials = int(os.environ.get("BENCH_TRIALS", "3"))
-    trial_gap = float(os.environ.get("BENCH_TRIAL_GAP_S", "20"))
+    # best-of-5: a trial costs ~2-4 s while the tunneled link swings
+    # minute to minute (observed 33 -> 89 MB/s within an hour); spacing
+    # five trials ~25 s apart samples ~2 minutes of distinct bandwidth
+    # windows — the cheapest variance cut available
+    trials = int(os.environ.get("BENCH_TRIALS", "5"))
+    trial_gap = float(os.environ.get("BENCH_TRIAL_GAP_S", "25"))
 
     cfg = config.Encoder().into_verified()
 
