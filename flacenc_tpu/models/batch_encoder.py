@@ -812,11 +812,26 @@ DEFAULT_BATCH = 64
 # don't spend compiles/CPU exploring packed formats
 _FAST_LINK_MBPS = 400.0
 # saturated batches between re-probes of a currently-losing wire format
-_EXPLORE_EVERY = 12
+_EXPLORE_EVERY = 16
 # never re-probe a format predicted worse than this ratio vs the current
 # one (a 100x-regime shift moves the in-use format's estimate too, so
 # the ratio shrinks until probing resumes on its own)
 _EXPLORE_MAX_RATIO = 3.0
+# consecutive batches per probe: with homogeneous-pair gap attribution
+# (drain_one only credits a gap when the drained batch AND its
+# predecessor share a wire kind) a 1-batch probe would never produce a
+# sample, so probes hold the kind for 2 batches and the second one reads
+# clean
+_PROBE_LEN = 2
+# consecutive winning choose() calls before the incumbent is dethroned:
+# a single lucky gap sample (a drain that landed right after the
+# pipeline prefilled) used to flip the incumbent to a slower wire for
+# _EXPLORE_EVERY batches at a time — measured 1.35x end-to-end loss vs
+# the pinned best wire on the tunneled v5e
+_SWITCH_VOTES = 2
+# batches between full try_pack scans when a cached rice plan keeps
+# packing cleanly (see BatchPipeline._try_pack_cached)
+_PLAN_RESCAN_EVERY = 16
 
 
 class LinkEstimator:
@@ -836,13 +851,20 @@ class LinkEstimator:
       the kind's geometric EWMA (gaps at full pipeline depth measure the
       bottleneck stage — link time AND the wire's own CPU cost included,
       whichever binds; log-space averaging follows the tunnel's
-      decade-scale swings in 2-3 samples).
+      decade-scale swings in 2-3 samples). The caller only feeds gaps
+      whose drained batch shares its wire kind with the batch drained
+      just before it (homogeneous pairs): in a mixed in-flight window
+      the completion gap measures the MIX's bottleneck, and attributing
+      it to the drained batch's kind measured as a 1.35x end-to-end loss
+      (lucky samples kept flipping the incumbent to slower wires).
     - `choose(kinds, current)` returns the kind with the smallest
-      predicted gap, with a 10% preference for the incumbent (hysteresis
-      against flip-thrash), a one-batch re-probe of any kind whose
-      estimate has gone stale (bounded by `_EXPLORE_MAX_RATIO` so a
-      known-terrible wire is not re-paid for), and a raw-first cold
-      start: packed kinds are only explored once a measured raw gap
+      predicted gap, with a 10% preference for the incumbent plus a
+      `_SWITCH_VOTES`-decision debounce (hysteresis against flip-thrash),
+      a `_PROBE_LEN`-batch re-probe of any kind whose estimate has gone
+      stale (bounded by `_EXPLORE_MAX_RATIO` so a known-terrible wire is
+      not re-paid for; 2 consecutive batches so the homogeneous-pair
+      rule yields exactly one clean sample per probe), and a raw-first
+      cold start: packed kinds are only explored once a measured raw gap
       shows the link is slower than `_FAST_LINK_MBPS` (on PCIe-class
       links raw is optimal and exploration would only burn compiles).
 
@@ -856,6 +878,8 @@ class LinkEstimator:
         self.nbytes: dict = {}  # kind -> EWMA wire bytes/batch
         self.age: dict = {}     # kind -> saturated batches since sampled
         self.mbps: Optional[float] = None  # latest effective MB/s (stats)
+        self._probe: Optional[tuple] = None  # (kind, batches remaining)
+        self._vote: Optional[tuple] = None   # (challenger kind, wins)
 
     def update(self, nbytes: int, seconds: float, kind: str = "raw") -> None:
         if seconds <= 0 or nbytes <= 0:
@@ -886,6 +910,14 @@ class LinkEstimator:
         )
 
     def choose(self, kinds, current: str) -> str:
+        # finish an in-progress probe: the 2nd consecutive batch is the
+        # one whose drain gap gets attributed (homogeneous-pair rule)
+        if self._probe is not None:
+            k, n = self._probe
+            self._probe = None
+            if n > 0 and k in kinds:
+                self._probe = (k, n - 1)
+                return k
         known = {k: self.secs[k] for k in kinds if k in self.secs}
         if "raw" not in known:
             return "raw"  # cold start: measure the zero-CPU wire first
@@ -896,9 +928,9 @@ class LinkEstimator:
                 return "raw"
             for k in kinds:
                 if k not in known:
+                    self._probe = (k, _PROBE_LEN - 1)
                     return k
         cur = known.get(current, float("inf"))
-        best = min(known, key=known.get)
         # stale re-probe: estimates decay in relevance as the tunnel
         # swings; refresh a losing kind occasionally, cost-bounded
         for k in kinds:
@@ -908,9 +940,21 @@ class LinkEstimator:
                 and known.get(k, float("inf")) <= cur * _EXPLORE_MAX_RATIO
             ):
                 self.age[k] = 0  # pay the probe now, not again next batch
+                self._probe = (k, _PROBE_LEN - 1)
                 return k
-        if known[best] < cur * 0.9:
-            return best
+        best = min(known, key=known.get)
+        if best != current and known[best] < cur * 0.9:
+            # debounce: a challenger must hold its predicted win across
+            # _SWITCH_VOTES consecutive decisions before taking over
+            k, n = (self._vote if self._vote and self._vote[0] == best
+                    else (best, 0))
+            n += 1
+            if n >= _SWITCH_VOTES:
+                self._vote = None
+                return best
+            self._vote = (k, n)
+            return current if current in known else best
+        self._vote = None
         return current if current in known else best
 
 
@@ -1132,6 +1176,16 @@ class BatchPipeline:
         self._sharding = _auto_mesh(mesh, batch_size)
         self._in_flight: List[tuple] = []
         self._last_drain: Optional[float] = None
+        self._prev_drain_kind: Optional[str] = None
+        # last rice plan, reused across batches: the scan half of
+        # try_pack (~5 ms/256-batch on the 1-core host) re-derives the
+        # same ('r', order, p, Wu) tuple batch after batch on steady
+        # content. Reuse is SAFE only for rice plans — pack_rice
+        # overflow-checks the unary budget and falls back to a full
+        # rescan, while a stale fixed-width plan would silently truncate
+        # — and a periodic rescan bounds byte drift on evolving content.
+        self._rice_plan: Optional[tuple] = None
+        self._rice_plan_age = 0
         self.depth = constants.par.FRAMEBUF_MULTIPLICITY
         # one io thread per outstanding fetch (minus the slots still
         # uploading/executing): each decisions fetch is a full transport
@@ -1232,6 +1286,34 @@ class BatchPipeline:
                 self._wu_sticky[(wire[1], wire[2])] = wire[3]
             self._start_warm(wire, payload)
 
+    def _try_pack_cached(self, chunk):
+        """`upack.try_pack` with rice-plan reuse: skips the scan pass on
+        steady content, falling back to the full scan when the cached
+        plan's unary budget overflows, when the plan isn't rice, or
+        every `_PLAN_RESCAN_EVERY` batches (bounds byte drift if the
+        content's entropy slowly falls below the cached p)."""
+        from .. import native
+        from ..ops import upack
+
+        plan = self._rice_plan
+        self._rice_plan_age += 1
+        if (plan is not None and plan[0] == "r"
+                and self._rice_plan_age < _PLAN_RESCAN_EVERY):
+            _, order, p, wu = plan
+            packed = (
+                native.pack_rice(chunk, order, p, wu)
+                if native.available()
+                else upack.pack_rice(chunk, order, p, wu)
+            )
+            if packed is not None:
+                return plan, packed
+        packed_arrays = upack.try_pack(chunk, self.bps)
+        self._rice_plan = (
+            packed_arrays[0] if packed_arrays is not None else None
+        )
+        self._rice_plan_age = 0
+        return packed_arrays
+
     def _fallback_wire(self, chunk):
         """Best already-compiled wire while the chosen one compiles:
         the delta16 variant if warm, else raw PCM."""
@@ -1303,10 +1385,7 @@ class BatchPipeline:
             self._prewarm(chunk)
         packed_arrays = None
         if kind == "pack":
-            from ..ops import upack
-
-            # fused scan + one pack
-            packed_arrays = upack.try_pack(chunk, self.bps)
+            packed_arrays = self._try_pack_cached(chunk)
         elif kind == "d":
             from ..ops import upack
 
@@ -1391,10 +1470,14 @@ class BatchPipeline:
         t0 = _time.perf_counter()
         enc = fut.result()
         t1 = _time.perf_counter()
-        if self._last_drain is not None and saturated:
+        if (self._last_drain is not None and saturated
+                and wire_kind == self._prev_drain_kind):
             # steady-state completion gap = bottleneck stage time; feeds
-            # the drained batch's wire kind in the racer (LinkEstimator)
+            # the racer (LinkEstimator) only when this batch and its
+            # predecessor share a wire kind — a gap after a wire flip
+            # measures the mixed window, not this wire
             self._est.update(up_bytes, t1 - self._last_drain, wire_kind)
+        self._prev_drain_kind = wire_kind
         self._last_drain = t1
         batch_frames = self.assemble(
             enc, chunk, nums, self.cfg, self.nch, self.bps,

@@ -356,16 +356,18 @@ def test_link_estimator_racer():
         est.update(4_000_000, 0.002, "raw")
     assert est.choose(KINDS, "raw") == "raw"
 
-    # slow link: raw gap 200 ms -> explores "d" then "pack" once each,
+    # slow link: raw gap 200 ms -> explores "d" then "pack", each probe
+    # holding _PROBE_LEN consecutive batches (the homogeneous-pair rule
+    # means only the 2nd batch of a probe produces a clean gap sample),
     # then races: pack (80 ms) beats d (110 ms) beats raw
     est = be.LinkEstimator()
     assert est.choose(KINDS, "raw") == "raw"
     est.update(4_000_000, 0.2, "raw")
-    k = est.choose(KINDS, "raw")
-    assert k == "d"
+    for _ in range(be._PROBE_LEN):
+        assert est.choose(KINDS, "raw") == "d"
     est.update(4_000_000, 0.11, "d")
-    k = est.choose(KINDS, "d")
-    assert k == "pack"
+    for _ in range(be._PROBE_LEN):
+        assert est.choose(KINDS, "d") == "pack"
     est.update(2_600_000, 0.08, "pack")
     assert est.choose(KINDS, "pack") == "pack"
 
@@ -382,8 +384,13 @@ def test_link_estimator_racer():
     k = est.choose(KINDS, "pack")
     assert k in ("d", "raw")  # stale losers within 3x get one probe
     est.update(4_000_000, 0.01, k)   # probe reads the fast link
+    assert est.choose(KINDS, "pack") == k  # probe holds a 2nd batch
     est.update(4_000_000, 0.01, "raw")
-    assert est.choose(KINDS, "pack") == "raw"  # raw wins outright
+    # debounce: the challenger must win _SWITCH_VOTES consecutive
+    # decisions before it takes over from the incumbent
+    for _ in range(be._SWITCH_VOTES - 1):
+        assert est.choose(KINDS, "pack") == "pack"
+    assert est.choose(KINDS, "pack") == "raw"  # raw wins after the votes
 
     # a kind predicted >3x worse is NOT re-probed even when stale
     est2 = be.LinkEstimator()
@@ -393,6 +400,109 @@ def test_link_estimator_racer():
     for _ in range(2 * be._EXPLORE_EVERY):
         est2.update(2_600_000, 0.05, "pack")
     assert est2.choose(KINDS, "pack") == "pack"
+
+
+def test_link_estimator_debounce_resists_single_lucky_sample():
+    """A one-off fast gap sample for a losing wire must not dethrone the
+    incumbent unless the advantage persists across _SWITCH_VOTES
+    consecutive decisions (mixed-window gaps produce exactly such
+    one-off artifacts)."""
+    KINDS = ("raw", "d", "pack")
+    est = be.LinkEstimator()
+    est.update(4_000_000, 0.2, "raw")
+    est.update(4_000_000, 0.15, "d")
+    est.update(2_600_000, 0.06, "pack")
+    for _ in range(3):
+        est.update(2_600_000, 0.06, "pack")
+        assert est.choose(KINDS, "pack") == "pack"
+    # one lucky raw sample: raw's EWMA now predicts a >10% win
+    est.update(4_000_000, 0.02, "raw")
+    assert est.secs["raw"] < est.secs["pack"] * 0.9
+    assert est.choose(KINDS, "pack") == "pack"  # vote 1: held
+    # the advantage evaporates before the second vote (it was a stall
+    # artifact): the vote resets and no switch ever happens
+    est.update(4_000_000, 0.4, "raw")
+    assert est.choose(KINDS, "pack") == "pack"
+    assert est._vote is None
+    # but a SUSTAINED advantage does switch after the votes
+    est.update(4_000_000, 0.01, "raw")
+    est.update(4_000_000, 0.01, "raw")
+    for _ in range(be._SWITCH_VOTES - 1):
+        assert est.choose(KINDS, "pack") == "pack"
+    assert est.choose(KINDS, "pack") == "raw"
+
+
+def test_drain_gap_attribution_homogeneous_pairs(monkeypatch):
+    """drain_one feeds the racer only when the drained batch and its
+    predecessor share a wire kind — a gap spanning a wire flip measures
+    the mixed in-flight window, not either wire."""
+    from concurrent.futures import Future
+
+    p = be.BatchPipeline(config.Encoder(), 2, 16, 256, 2, upload_pack=False)
+    try:
+        recorded = []
+        monkeypatch.setattr(
+            p._est, "update", lambda nb, s, k="raw": recorded.append(k)
+        )
+        p.assemble = lambda *a, **k: []
+        chunk = np.zeros((2, 2, 256), np.int16)
+        nums = np.arange(2)
+        for kind in ("raw", "raw", "pack", "d", "d", "d"):
+            fut = Future()
+            fut.set_result(None)
+            p._in_flight.append(
+                (fut, chunk, nums, 2, 44100, None, 100, kind)
+            )
+        while p._in_flight:
+            p.drain_one()
+        # raw-raw pair at drain 2, d-d pair at drain 5 (drain 6 is no
+        # longer saturated); flips at drains 3 and 4 are never fed
+        assert recorded == ["raw", "d"]
+    finally:
+        p.close()
+
+
+def test_rice_plan_cache_reuse_and_rescan(monkeypatch):
+    """_try_pack_cached reuses the previous rice plan without re-scanning,
+    rescans when the cached plan's unary budget overflows, and rescans
+    after _PLAN_RESCAN_EVERY batches."""
+    from flacenc_tpu.ops import upack
+
+    p = be.BatchPipeline(config.Encoder(), 2, 16, 512, 4, upload_pack="auto")
+    try:
+        rng = np.random.default_rng(7)
+        quiet = np.cumsum(
+            rng.integers(-50, 51, (4, 2, 512)), -1
+        ).astype(np.int32)
+        # sparse spikes: a fixed-width wire would need >=15-bit fields,
+        # rice absorbs them in the unary plane -> the scan picks "r"
+        quiet[..., ::97] += 9000
+        scans = []
+        real_try_pack = upack.try_pack
+        monkeypatch.setattr(
+            upack, "try_pack",
+            lambda *a, **k: scans.append(1) or real_try_pack(*a, **k),
+        )
+        wire1, payload1 = p._try_pack_cached(quiet)
+        assert wire1[0] == "r" and p._rice_plan == wire1 and len(scans) == 1
+        # steady content: the cached plan packs without a scan, and the
+        # payload is bit-identical to a from-scratch pack of that plan
+        wire2, payload2 = p._try_pack_cached(quiet)
+        assert wire2 == wire1 and len(scans) == 1
+        oracle = upack.pack_rice(quiet, *wire1[1:])
+        assert all(np.array_equal(a, b) for a, b in zip(payload2, oracle))
+        # unary-budget overflow (full-scale noise) forces a rescan
+        loud = rng.integers(-30000, 30000, (4, 2, 512)).astype(np.int32)
+        p._try_pack_cached(loud)
+        assert len(scans) == 2
+        # periodic rescan bounds byte drift on evolving content
+        p._try_pack_cached(quiet)  # rescan (plan is now loud's/None)
+        base = len(scans)
+        p._rice_plan_age = be._PLAN_RESCAN_EVERY - 1
+        p._try_pack_cached(quiet)
+        assert len(scans) == base + 1
+    finally:
+        p.close()
 
 
 def test_upload_pack_env_modes(monkeypatch):
@@ -449,13 +559,16 @@ def test_pipeline_wire_flip_byte_identical(monkeypatch):
 
     def seed(est, fastest):
         """Pin per-kind estimates so `choose` deterministically returns
-        `fastest` (fresh ages: no stale re-probe interference)."""
+        `fastest` (fresh ages: no stale re-probe interference; vote
+        pre-seeded past the switch debounce; no probe in progress)."""
         base = {"raw": 1.0, "d": 1.0, "pack": 1.0}
         base[fastest] = 0.1
         est.secs = dict(base)
         est.nbytes = {k: 1_000_000 for k in base}
         est.age = {k: 0 for k in base}
         est.mbps = 10.0
+        est._vote = (fastest, be._SWITCH_VOTES - 1)
+        est._probe = None
 
     def run(schedule):
         monkeypatch.setattr(be, "_LINK_ESTS", {})
@@ -739,9 +852,12 @@ def test_link_estimators_bucketed_by_payload_shape(monkeypatch):
         assert p64._est is p64b._est              # same shape -> shared
 
         # simulate: on the small batches the "pack" wire wins decisively
+        # (the switch debounce takes _SWITCH_VOTES consecutive decisions)
         for _ in range(3):
             p64._est.update(1_000_000, 1.0, "raw")
             p64._est.update(1_000_000, 0.1, "pack")
+        for _ in range(be._SWITCH_VOTES - 1):
+            assert p64._est.choose(("raw", "pack"), "raw") == "raw"
         assert p64._est.choose(("raw", "pack"), "raw") == "pack"
         # ...but the big-batch estimator saw none of it: cold start
         # still measures raw first instead of inheriting "pack"
@@ -749,10 +865,12 @@ def test_link_estimators_bucketed_by_payload_shape(monkeypatch):
         assert not p256._est.secs
 
         # the 256-batch pipeline then converges on its own evidence
-        # within 3 batches: raw is faster there (fast link regime)
+        # within ~3 batches: raw is faster there (fast link regime)
         p256._est.update(4_000_000, 1.0, "pack")
         p256._est.update(4_000_000, 0.005, "raw")   # > _FAST_LINK_MBPS
         p256._est.update(4_000_000, 0.005, "raw")
+        for _ in range(be._SWITCH_VOTES - 1):
+            assert p256._est.choose(("raw", "pack"), "pack") == "pack"
         assert p256._est.choose(("raw", "pack"), "pack") == "raw"
         # and the small-batch verdict is untouched
         assert p64._est.choose(("raw", "pack"), "pack") == "pack"
