@@ -829,6 +829,16 @@ _PROBE_LEN = 2
 # _EXPLORE_EVERY batches at a time — measured 1.35x end-to-end loss vs
 # the pinned best wire on the tunneled v5e
 _SWITCH_VOTES = 2
+# an estimate is FRESH (eligible to win a switch) only if sampled within
+# this many batches AND this many wall seconds: the tunnel's bandwidth
+# windows shift minute-to-minute, so an estimate from the previous
+# window (or from before an inter-encode pause) routinely mis-ranks the
+# wires — measured: a stale-fast raw estimate captured 19 of 26 batches
+# of an 8 MB/s window (~5x the optimal wire's cost) before its EWMA
+# caught up. Stale kinds can only be reached through a probe, which
+# refreshes them first.
+_FRESH_AGE = 32
+_FRESH_SECONDS = 15.0
 # batches between full try_pack scans when a cached rice plan keeps
 # packing cleanly (see BatchPipeline._try_pack_cached)
 _PLAN_RESCAN_EVERY = 16
@@ -858,15 +868,21 @@ class LinkEstimator:
       it to the drained batch's kind measured as a 1.35x end-to-end loss
       (lucky samples kept flipping the incumbent to slower wires).
     - `choose(kinds, current)` returns the kind with the smallest
-      predicted gap, with a 10% preference for the incumbent plus a
-      `_SWITCH_VOTES`-decision debounce (hysteresis against flip-thrash),
-      a `_PROBE_LEN`-batch re-probe of any kind whose estimate has gone
-      stale (bounded by `_EXPLORE_MAX_RATIO` so a known-terrible wire is
-      not re-paid for; 2 consecutive batches so the homogeneous-pair
-      rule yields exactly one clean sample per probe), and a raw-first
-      cold start: packed kinds are only explored once a measured raw gap
-      shows the link is slower than `_FAST_LINK_MBPS` (on PCIe-class
-      links raw is optimal and exploration would only burn compiles).
+      predicted gap among kinds with FRESH estimates (sampled within
+      `_FRESH_AGE` batches and `_FRESH_SECONDS` wall seconds — a stale
+      estimate is from a different link window and routinely mis-ranks
+      the wires), with a 10% preference for the incumbent plus a
+      `_SWITCH_VOTES`-decision debounce (hysteresis against
+      flip-thrash). Stale kinds are only reachable through a
+      `_PROBE_LEN`-batch re-probe (2 consecutive batches so the
+      homogeneous-pair rule yields exactly one clean sample), gated by
+      a BYTES-based prediction at the incumbent's current effective
+      speed — `nbytes[k] / mbps(current)` — because wire bytes are a
+      stable content property while a stale seconds estimate is not.
+      Cold start measures raw first: packed kinds are only explored
+      once a measured raw gap shows the link is slower than
+      `_FAST_LINK_MBPS` (on PCIe-class links raw is optimal and
+      exploration would only burn compiles).
 
     Wire kinds: "raw" (int16/int32 PCM), "d" (delta16 — near-zero CPU,
     transport-compressible), "pack" (the dense "w"/"r" formats of
@@ -876,7 +892,8 @@ class LinkEstimator:
     def __init__(self) -> None:
         self.secs: dict = {}    # kind -> EWMA steady-state seconds/batch
         self.nbytes: dict = {}  # kind -> EWMA wire bytes/batch
-        self.age: dict = {}     # kind -> saturated batches since sampled
+        self.age: dict = {}     # kind -> choose() calls since sampled
+        self.t_sample: dict = {}  # kind -> wall time of last sample
         self.mbps: Optional[float] = None  # latest effective MB/s (stats)
         self._probe: Optional[tuple] = None  # (kind, batches remaining)
         self._vote: Optional[tuple] = None   # (challenger kind, wins)
@@ -884,9 +901,9 @@ class LinkEstimator:
     def update(self, nbytes: int, seconds: float, kind: str = "raw") -> None:
         if seconds <= 0 or nbytes <= 0:
             return
+        import time as _time
+
         self.mbps = max(nbytes / seconds / 1e6, 1e-3)
-        for k in self.age:
-            self.age[k] += 1
         prev = self.secs.get(kind)
         # geometric EWMA, but adopt IMPROVEMENTS faster (cap at 2x the
         # new sample): gap noise is one-sided — stalls inflate a gap,
@@ -902,6 +919,7 @@ class LinkEstimator:
             nbytes if prevb is None else float((prevb * nbytes) ** 0.5)
         )
         self.age[kind] = 0
+        self.t_sample[kind] = _time.perf_counter()
 
     def _link_is_fast(self) -> bool:
         raw_s, raw_b = self.secs.get("raw"), self.nbytes.get("raw")
@@ -909,7 +927,35 @@ class LinkEstimator:
             raw_b / raw_s / 1e6 > _FAST_LINK_MBPS
         )
 
+    def _is_fresh(self, kind: str) -> bool:
+        import time as _time
+
+        t = self.t_sample.get(kind)
+        return (
+            kind in self.secs
+            and self.age.get(kind, _FRESH_AGE + 1) <= _FRESH_AGE
+            and t is not None
+            and _time.perf_counter() - t <= _FRESH_SECONDS
+        )
+
+    def initial_kind(self, kinds) -> str:
+        """Best starting incumbent for a NEW pipeline: raw when unproven
+        or fast-link, else the smallest-bytes measured kind (bytes are
+        the window-invariant ranking; a new encode often starts in a
+        different bandwidth window than the last one ended in)."""
+        if "raw" not in self.secs or self._link_is_fast():
+            return "raw"
+        known = [k for k in kinds if k in self.nbytes]
+        if not known:
+            return "raw"
+        return min(known, key=lambda k: self.nbytes[k])
+
     def choose(self, kinds, current: str) -> str:
+        # ages tick per DECISION (≈ per batch): the homogeneous-pair rule
+        # makes update() calls sparse during wire churn, and an age that
+        # only ticks on updates can freeze, never triggering re-probes
+        for k in kinds:
+            self.age[k] = self.age.get(k, _FRESH_AGE + 1) + 1
         # finish an in-progress probe: the 2nd consecutive batch is the
         # one whose drain gap gets attributed (homogeneous-pair rule)
         if self._probe is not None:
@@ -931,19 +977,41 @@ class LinkEstimator:
                     self._probe = (k, _PROBE_LEN - 1)
                     return k
         cur = known.get(current, float("inf"))
+        cur_bytes = self.nbytes.get(current)
+        mbps_cur = (
+            cur_bytes / cur / 1e6
+            if cur_bytes and cur not in (0.0, float("inf")) else self.mbps
+        )
         # stale re-probe: estimates decay in relevance as the tunnel
-        # swings; refresh a losing kind occasionally, cost-bounded
+        # swings; refresh a losing kind occasionally — gated by the
+        # BYTES-predicted cost at the incumbent's current effective
+        # speed (clearly-losing kinds get probed half as often)
         for k in kinds:
-            if (
-                k != current
-                and self.age.get(k, 0) >= _EXPLORE_EVERY
-                and known.get(k, float("inf")) <= cur * _EXPLORE_MAX_RATIO
-            ):
-                self.age[k] = 0  # pay the probe now, not again next batch
-                self._probe = (k, _PROBE_LEN - 1)
-                return k
-        best = min(known, key=known.get)
-        if best != current and known[best] < cur * 0.9:
+            if k == current or self.age.get(k, 0) < _EXPLORE_EVERY:
+                continue
+            pred = (
+                self.nbytes[k] / (mbps_cur * 1e6)
+                if mbps_cur and k in self.nbytes else known.get(k)
+            )
+            if pred is None or pred > cur * _EXPLORE_MAX_RATIO:
+                continue
+            if pred > cur * 1.2 and self.age.get(k, 0) < 2 * _EXPLORE_EVERY:
+                continue
+            self.age[k] = 0  # pay the probe now, not again next batch
+            self._probe = (k, _PROBE_LEN - 1)
+            return k
+        # only FRESH estimates may win a switch: a stale-fast estimate
+        # from a previous bandwidth window must not capture the choice
+        fresh = {k: v for k, v in known.items() if self._is_fresh(k)}
+        if current not in fresh:
+            # no live signal on the incumbent yet (e.g. new pipeline):
+            # keep it if its estimate exists, else fall back to the
+            # smallest-bytes kind
+            if current in known:
+                return current
+            return self.initial_kind(kinds)
+        best = min(fresh, key=fresh.get)
+        if best != current and fresh[best] < cur * 0.9:
             # debounce: a challenger must hold its predicted win across
             # _SWITCH_VOTES consecutive decisions before taking over
             k, n = (self._vote if self._vote and self._vote[0] == best
@@ -953,9 +1021,9 @@ class LinkEstimator:
                 self._vote = None
                 return best
             self._vote = (k, n)
-            return current if current in known else best
+            return current
         self._vote = None
-        return current if current in known else best
+        return current
 
 
 # process-wide estimators, keyed by payload-shape bucket: the link
@@ -989,6 +1057,16 @@ def _bucket_pad(chunk: np.ndarray, batch_size: int) -> np.ndarray:
         return chunk
     pad = np.zeros((batch_size - n,) + chunk.shape[1:], chunk.dtype)
     return np.concatenate([chunk, pad])
+
+
+# process-wide registry of (program, shapes, sharding) combinations that
+# have completed a full compile + first execution. A BatchPipeline is
+# per-encode, but the jit cache (`_cached_encoder_fn`) is per-process:
+# without this registry every NEW pipeline re-"warmed" wires whose
+# programs were already hot, shipping several raw-fallback batches per
+# encode (measured: 4 of 26 batches on the bench trials — at slow-link
+# prices, the single largest racer overhead).
+_WARMED_WIRES: set = set()
 
 
 @functools.lru_cache(maxsize=64)
@@ -1062,8 +1140,10 @@ class BatchResult(NamedTuple):
     frames: List[Frame]   # only the valid (non-padding) frames
     nums: np.ndarray      # frame numbers passed to submit
     cookie: object        # caller-provided routing cookie
-    device_wait_s: float  # time blocked on the device future
-    pack_s: float         # host assembly time
+    device_wait_s: float  # main thread blocked on the batch future
+    pack_s: float         # io-thread frame assembly time (overlaps
+    #                       other batches' link waits; host-CPU cost,
+    #                       NOT main-thread serial time)
 
 
 class BatchPipeline:
@@ -1164,15 +1244,21 @@ class BatchPipeline:
         self._eligible_pack = eligible
         # the delta16 wire reconstructs mod 2^16 — sound only for bps<=16
         self._delta_eligible = eligible and bps <= 16
-        # wire kind of the LAST submitted batch ("raw" | "d" | "pack");
-        # auto mode's racer takes it as the incumbent
-        self._wire_kind = {"on": "pack", "delta": "d"}.get(
-            self.upload_mode, "raw"
-        )
-        self.upload_pack = self._wire_kind != "raw"
         self._est = _link_est_for(
             _shape_bucket(batch_size * nch * block_size)
         )
+        # wire kind of the LAST submitted batch ("raw" | "d" | "pack");
+        # auto mode's racer takes it as the incumbent. A new pipeline in
+        # auto mode starts from the estimator's bytes-ranked belief so a
+        # fresh encode on a known-slow link doesn't re-pay raw batches.
+        self._wire_kind = {"on": "pack", "delta": "d"}.get(
+            self.upload_mode, "raw"
+        )
+        if self.upload_mode == "auto":
+            kinds = (("raw", "d", "pack") if self._delta_eligible
+                     else ("raw", "pack"))
+            self._wire_kind = self._est.initial_kind(kinds)
+        self.upload_pack = self._wire_kind != "raw"
         self._sharding = _auto_mesh(mesh, batch_size)
         self._in_flight: List[tuple] = []
         self._last_drain: Optional[float] = None
@@ -1230,9 +1316,23 @@ class BatchPipeline:
             )
         return fn
 
-    def _wire_ready(self, wire) -> bool:
-        """True when `wire`'s program can run without compiling inline."""
+    def _warm_key(self, wire, shapes) -> tuple:
+        return (self.cfg.to_toml(), self.nch, self.bps, self.block_size,
+                self.strict_lpc, self.packer, wire, shapes,
+                repr(self._sharding))
+
+    def _wire_ready(self, wire, payload=()) -> bool:
+        """True when `wire`'s program can run without compiling inline.
+
+        Consults the process-wide `_WARMED_WIRES` registry first: a new
+        pipeline (each stream/corpus encode creates one) must not re-pay
+        the compile fallback for a program an earlier encode already
+        compiled and executed at these shapes."""
         if wire is None or wire in self._fns:
+            return True
+        shapes = tuple((a.shape, str(a.dtype)) for a in payload)
+        if self._warm_key(wire, shapes) in _WARMED_WIRES:
+            self._fn_for(wire)  # instant: pulls the lru-cached, warm fn
             return True
         fut = self._warming.get(wire)
         if fut is not None and fut.done():
@@ -1258,6 +1358,13 @@ class BatchPipeline:
             )
         shapes = [(a.shape, a.dtype) for a in payload]
 
+        key = self._warm_key(
+            wire, tuple((s, str(np.dtype(d))) for s, d in shapes)
+        )
+        if key in _WARMED_WIRES:
+            self._fn_for(wire)  # already hot process-wide; no re-warm
+            return
+
         def warm():
             fn = _cached_encoder_fn(
                 self.cfg.to_toml(), self.nch, self.bps, self.block_size,
@@ -1267,6 +1374,7 @@ class BatchPipeline:
             )
             zeros = [self._put(np.zeros(s, d)) for s, d in shapes]
             jax.block_until_ready(fn(*zeros))
+            _WARMED_WIRES.add(key)
 
         self._warming[wire] = self._compile_pool.submit(warm)
 
@@ -1335,16 +1443,33 @@ class BatchPipeline:
         wire, errors = jax.device_get(enc)
         return split_encoded(np.asarray(wire), np.asarray(errors), self.nch)
 
-    def _upload_dispatch_fetch(self, chunk, payload, wire):
+    def _fetch_assemble(self, enc, chunk, nums, rate):
+        """io thread: blocking fetch + C++ frame assembly. Assembly
+        (residual recompute + bit pack, GIL released) runs HERE so it
+        fills the core during link waits instead of serializing after
+        them on the main thread — on the 1-core bench host this removes
+        the full assemble cost (~20 ms/256-batch) from the critical
+        path whenever the link, not the CPU, is the bottleneck."""
+        import time as _time
+
+        dec = self._fetch(enc)
+        t0 = _time.perf_counter()
+        frames = self.assemble(
+            dec, chunk, nums, self.cfg, self.nch, self.bps,
+            rate if rate is not None else 0, self.block_size,
+        )
+        return frames, _time.perf_counter() - t0
+
+    def _upload_dispatch_fetch(self, chunk, payload, wire, nums, rate):
         """io thread (STRICT mode only): strict host arrays + upload +
-        dispatch + fetch. The native strict call releases the GIL, so
-        computing the arrays here overlaps the read loop instead of
-        serializing submit(). Non-strict batches take the async-issue
+        dispatch + fetch + assembly. The native strict call releases the
+        GIL, so computing the arrays here overlaps the read loop instead
+        of serializing submit(). Non-strict batches take the async-issue
         path in submit() instead."""
         ext = _strict_ext_arrays(chunk, self.cfg, self.nch, self.bps,
                                  self.strict_window)
         enc = self._fn_for(wire)(*map(self._put, payload + ext))
-        return self._fetch(enc)
+        return self._fetch_assemble(enc, chunk, nums, rate)
 
     def submit(self, blocks_list, nums: np.ndarray,
                rate: Optional[int] = None, cookie=None):
@@ -1417,7 +1542,7 @@ class BatchPipeline:
             else:
                 up = chunk.astype(np.int16)
             payload = (up,)
-        if self.async_compile and not self._wire_ready(wire):
+        if self.async_compile and not self._wire_ready(wire, payload):
             # compile the fresh variant off-thread; ship THIS batch on a
             # warm wire so the stream never stalls on a compile
             self._start_warm(wire, payload)
@@ -1430,27 +1555,30 @@ class BatchPipeline:
         )
         self.upload_pack = wire is not None
         self.wire_counts[wire] = self.wire_counts.get(wire, 0) + 1
+        nums = np.asarray(nums)
+        if len(nums) < chunk.shape[0]:  # padding rows get dummy numbers
+            nums = np.concatenate(
+                [nums, np.zeros(chunk.shape[0] - len(nums), nums.dtype)]
+            )
         if self.strict_lpc:
             # strict host arrays are expensive: keep the whole chain on
             # the io thread so it overlaps the read loop
             fut = self._pool.submit(
-                self._upload_dispatch_fetch, chunk, payload, wire
+                self._upload_dispatch_fetch, chunk, payload, wire, nums,
+                rate,
             )
         else:
             # async-issue fast path: device_put returns before the
             # transfer completes and the dispatch is non-blocking, so the
             # transport queues this batch's upload NOW (transfers and
             # in-order device execution overlap the io thread's fetches);
-            # only the blocking fetch goes to the pool
+            # the blocking fetch AND the C++ frame assembly go to the
+            # pool (see _fetch_assemble)
             enc = self._fn_for(wire)(*map(self._put, payload))
-            fut = self._pool.submit(self._fetch, enc)
-        nums = np.asarray(nums)
-        if len(nums) < chunk.shape[0]:  # padding rows get dummy numbers
-            nums = np.concatenate(
-                [nums, np.zeros(chunk.shape[0] - len(nums), nums.dtype)]
-            )
+            fut = self._pool.submit(self._fetch_assemble, enc, chunk, nums,
+                                    rate)
         self._in_flight.append(
-            (fut, chunk, nums, len(blocks_list), rate, cookie, upload_bytes,
+            (fut, nums, len(blocks_list), cookie, upload_bytes,
              self._wire_kind)
         )
         self.max_inflight = max(self.max_inflight, len(self._in_flight))
@@ -1464,11 +1592,11 @@ class BatchPipeline:
         import time as _time
 
         saturated = len(self._in_flight) >= 2
-        fut, chunk, nums, n_valid, rate, cookie, up_bytes, wire_kind = (
+        fut, nums, n_valid, cookie, up_bytes, wire_kind = (
             self._in_flight.pop(0)
         )
         t0 = _time.perf_counter()
-        enc = fut.result()
+        batch_frames, pack_s = fut.result()
         t1 = _time.perf_counter()
         if (self._last_drain is not None and saturated
                 and wire_kind == self._prev_drain_kind):
@@ -1479,13 +1607,8 @@ class BatchPipeline:
             self._est.update(up_bytes, t1 - self._last_drain, wire_kind)
         self._prev_drain_kind = wire_kind
         self._last_drain = t1
-        batch_frames = self.assemble(
-            enc, chunk, nums, self.cfg, self.nch, self.bps,
-            rate if rate is not None else 0, self.block_size,
-        )
-        t2 = _time.perf_counter()
         return BatchResult(batch_frames[:n_valid], nums[:n_valid], cookie,
-                           t1 - t0, t2 - t1)
+                           t1 - t0, pack_s)
 
     def drain_all(self):
         while self._in_flight:

@@ -27,8 +27,9 @@ def test_stage_extras_host_ceiling():
     stats = {"wall_s": 10.0, "device_wait_s": 6.0, "read_s": 1.0,
              "pack_s": 2.0, "batches": 4, "link_mbps": 42.0}
     ex = bench._stage_extras(stats, n_samples=441000, rate=44100)
-    # 10 s audio over (10 - 6) s host time = 2.5x
-    assert ex["host_ceiling_x_realtime"] == 2.5
+    # 10 s audio over (10 - 6 + 2) s host time: assembly (pack_s) runs on
+    # io threads inside the link wait, so the host ceiling charges it back
+    assert ex["host_ceiling_x_realtime"] == round(10.0 / 6.0, 1)
     assert ex["wall_s"] == 10.0 and ex["device_wait_s"] == 6.0
     assert ex["batches"] == 4 and ex["link_mbps"] == 42.0
     assert bench._stage_extras({}, 1, 1) == {}

@@ -9,6 +9,8 @@ int16 (the case the old "native" path flags with `fits16` and recomputes
 in Python).
 """
 
+import time
+
 import numpy as np
 import pytest
 
@@ -376,30 +378,65 @@ def test_link_estimator_racer():
     assert est.secs["d"] < est.secs["pack"]
     assert est.choose(KINDS, "pack") == "pack"
 
-    # regime change: the link opens up, pack's own gap shrinks as the
-    # stream runs, and the stale raw estimate gets re-probed after
-    # _EXPLORE_EVERY batches (cost-bounded by _EXPLORE_MAX_RATIO)
-    for _ in range(be._EXPLORE_EVERY):
+    # regime change: the link opens up and pack's gap shrinks; the stale
+    # raw estimate ages per decision and is re-probed on the
+    # bytes-predicted schedule (raw predicts 4 MB/(2.6 MB/0.03 s) ≈
+    # 1.5x the incumbent: clearly losing, so it waits 2*_EXPLORE_EVERY),
+    # and a fresh winning probe takes over after the debounce votes
+    KINDS_RP = ("raw", "pack")
+    probed = None
+    for _ in range(2 * be._EXPLORE_EVERY + 2):
         est.update(2_600_000, 0.03, "pack")
-    k = est.choose(KINDS, "pack")
-    assert k in ("d", "raw")  # stale losers within 3x get one probe
-    est.update(4_000_000, 0.01, k)   # probe reads the fast link
-    assert est.choose(KINDS, "pack") == k  # probe holds a 2nd batch
+        k = est.choose(KINDS_RP, "pack")
+        if k != "pack":
+            probed = k
+            break
+    assert probed == "raw"
+    est.update(4_000_000, 0.01, "raw")   # probe reads the fast link
+    assert est.choose(KINDS_RP, "pack") == "raw"  # probe holds a 2nd batch
     est.update(4_000_000, 0.01, "raw")
     # debounce: the challenger must win _SWITCH_VOTES consecutive
     # decisions before it takes over from the incumbent
     for _ in range(be._SWITCH_VOTES - 1):
-        assert est.choose(KINDS, "pack") == "pack"
-    assert est.choose(KINDS, "pack") == "raw"  # raw wins after the votes
+        assert est.choose(KINDS_RP, "pack") == "pack"
+    assert est.choose(KINDS_RP, "pack") == "raw"  # raw wins after the votes
 
-    # a kind predicted >3x worse is NOT re-probed even when stale
+
+def test_stale_fast_estimate_cannot_capture_choice():
+    """REGRESSION (r4): an estimate sampled in a previous bandwidth
+    window (stale by wall clock) must not win a switch — measured on the
+    tunneled v5e, a stale-fast raw estimate captured 19 of 26 batches of
+    an 8 MB/s window at ~5x the optimal wire's cost before its EWMA
+    caught up. Stale kinds are only reachable through probes."""
+    KINDS = ("raw", "d", "pack")
+    est = be.LinkEstimator()
+    est.update(4_000_000, 0.01, "raw")    # sampled in a fast window
+    est.update(4_000_000, 0.30, "d")
+    est.update(2_600_000, 0.05, "pack")
+    # the window changed: raw's and d's samples are now 20 s old
+    est.t_sample["raw"] -= 20.0
+    est.t_sample["d"] -= 20.0
+    for _ in range(5):
+        est.update(2_600_000, 0.05, "pack")
+        assert est.choose(KINDS, "pack") == "pack"
+
+
+def test_initial_kind_bytes_ranked():
+    """A new pipeline's starting wire comes from the estimator's
+    window-invariant bytes ranking: raw when unproven or fast-link, the
+    smallest-bytes measured kind on a known-slow link (a new encode
+    often starts in a different bandwidth window than the last ended in,
+    so seconds estimates are not trustworthy across the boundary)."""
+    KINDS = ("raw", "d", "pack")
+    est = be.LinkEstimator()
+    assert est.initial_kind(KINDS) == "raw"          # unproven
+    est.update(4_000_000, 0.002, "raw")              # ~2 GB/s: fast link
+    assert est.initial_kind(KINDS) == "raw"
     est2 = be.LinkEstimator()
-    est2.update(4_000_000, 1.0, "raw")
-    est2.update(4_000_000, 0.9, "d")
-    est2.update(2_600_000, 0.05, "pack")
-    for _ in range(2 * be._EXPLORE_EVERY):
-        est2.update(2_600_000, 0.05, "pack")
-    assert est2.choose(KINDS, "pack") == "pack"
+    est2.update(4_000_000, 0.2, "raw")               # 20 MB/s: slow
+    est2.update(4_000_000, 0.11, "d")
+    est2.update(2_600_000, 0.08, "pack")
+    assert est2.initial_kind(KINDS) == "pack"        # smallest bytes
 
 
 def test_link_estimator_debounce_resists_single_lucky_sample():
@@ -444,15 +481,11 @@ def test_drain_gap_attribution_homogeneous_pairs(monkeypatch):
         monkeypatch.setattr(
             p._est, "update", lambda nb, s, k="raw": recorded.append(k)
         )
-        p.assemble = lambda *a, **k: []
-        chunk = np.zeros((2, 2, 256), np.int16)
         nums = np.arange(2)
         for kind in ("raw", "raw", "pack", "d", "d", "d"):
             fut = Future()
-            fut.set_result(None)
-            p._in_flight.append(
-                (fut, chunk, nums, 2, 44100, None, 100, kind)
-            )
+            fut.set_result(([], 0.0))  # (frames, pack_s) from the io task
+            p._in_flight.append((fut, nums, 2, None, 100, kind))
         while p._in_flight:
             p.drain_one()
         # raw-raw pair at drain 2, d-d pair at drain 5 (drain 6 is no
@@ -566,6 +599,7 @@ def test_pipeline_wire_flip_byte_identical(monkeypatch):
         est.secs = dict(base)
         est.nbytes = {k: 1_000_000 for k in base}
         est.age = {k: 0 for k in base}
+        est.t_sample = {k: time.perf_counter() for k in base}
         est.mbps = 10.0
         est._vote = (fastest, be._SWITCH_VOTES - 1)
         est._probe = None
@@ -620,6 +654,7 @@ def test_async_wire_compile_fallback(monkeypatch):
     est.secs = {"raw": 1.0, "d": 1.0, "pack": 0.1}
     est.nbytes = {k: 1_000_000 for k in est.secs}
     est.age = {k: 0 for k in est.secs}
+    est.t_sample = {k: time.perf_counter() for k in est.secs}
     assert p.async_compile
     frames, wires = [], []
 
