@@ -1408,13 +1408,17 @@ class BatchPipeline:
         if (plan is not None and plan[0] == "r"
                 and self._rice_plan_age < _PLAN_RESCAN_EVERY):
             _, order, p, wu = plan
+            # pack straight at the sticky budget: submit()'s pad-to-floor
+            # concat (a full copy of the unary plane) becomes a no-op on
+            # this steady path
+            wu = max(wu, self._wu_sticky.get((order, p), 0))
             packed = (
                 native.pack_rice(chunk, order, p, wu)
                 if native.available()
                 else upack.pack_rice(chunk, order, p, wu)
             )
             if packed is not None:
-                return plan, packed
+                return ("r", order, p, wu), packed
         packed_arrays = upack.try_pack(chunk, self.bps)
         self._rice_plan = (
             packed_arrays[0] if packed_arrays is not None else None

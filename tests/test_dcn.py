@@ -97,7 +97,15 @@ def test_shard_corpus_partition_properties():
     assert shards == [shard_corpus(names, 3, h) for h in range(3)]
 
 
-def test_two_process_dcn_corpus_matches_single_process(tmp_path):
+def _run_dcn_pair(tmp_path, attempt: int):
+    """Spawn the two-process cluster once. Returns (ok, logs, outs).
+
+    The coordinator port is probed-then-released, so a loaded box can
+    steal it between the probe and the child bind; distributed init can
+    also time out when both cold processes fight one busy core. Those
+    are infra failures (nonzero child rc), NOT encoder failures — the
+    caller retries them with a fresh port. Byte-comparison assertions
+    never retry."""
     import socket
 
     with socket.socket() as s:
@@ -105,7 +113,7 @@ def test_two_process_dcn_corpus_matches_single_process(tmp_path):
         port = s.getsockname()[1]
     coord = f"127.0.0.1:{port}"
     child_src = _CHILD.format(repo=_REPO, coord=coord)
-    script = tmp_path / "child.py"
+    script = tmp_path / f"child{attempt}.py"
     script.write_text(child_src)
 
     env = {
@@ -114,7 +122,7 @@ def test_two_process_dcn_corpus_matches_single_process(tmp_path):
     }
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    outs = [tmp_path / "out0.json", tmp_path / "out1.json"]
+    outs = [tmp_path / f"out0_{attempt}.json", tmp_path / f"out1_{attempt}.json"]
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(pid), str(outs[pid])],
@@ -123,9 +131,23 @@ def test_two_process_dcn_corpus_matches_single_process(tmp_path):
         )
         for pid in range(2)
     ]
-    logs = [p.communicate(timeout=560)[0] for p in procs]
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, log[-2000:]
+    try:
+        logs = [p.communicate(timeout=560)[0] for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+            p.communicate()
+        return False, ["child timed out (loaded box)"], outs
+    ok = all(p.returncode == 0 for p in procs)
+    return ok, logs, outs
+
+
+def test_two_process_dcn_corpus_matches_single_process(tmp_path):
+    for attempt in range(3):
+        ok, logs, outs = _run_dcn_pair(tmp_path, attempt)
+        if ok:
+            break
+    assert ok, "\n---\n".join(log[-2000:] for log in logs)
 
     import json
 
