@@ -842,6 +842,24 @@ _FRESH_SECONDS = 15.0
 # batches between full try_pack scans when a cached rice plan keeps
 # packing cleanly (see BatchPipeline._try_pack_cached)
 _PLAN_RESCAN_EVERY = 16
+# grouped decisions fetch: tunneled transports serialize transfers, so a
+# decisions fetch costs a full ~25-70 ms round trip of channel time
+# regardless of its ~200 KB payload; fetching G batches' coalesced
+# decisions in ONE device->host transfer (a trivial on-device concat)
+# divides that per-RPC cost by G. On PCIe-class links a fetch is
+# sub-millisecond and grouping would only delay assembly, so auto mode
+# engages grouping ONLY once the measured fetch-only wall EWMA exceeds
+# _GROUP_FETCH_MIN_S (and the concat program has background-compiled —
+# an inline remote compile would stall the stream). FLACENC_FETCH_GROUP
+# pins the group size (1 = never group).
+_FETCH_GROUP_AUTO = 4
+_GROUP_FETCH_MIN_S = 0.015
+
+
+@functools.lru_cache(maxsize=None)
+def _group_concat_fn(n: int):
+    """Jitted G-way batch-axis concat for the grouped decisions fetch."""
+    return jax.jit(lambda *xs: jnp.concatenate(xs, axis=0))
 
 
 class LinkEstimator:
@@ -1298,6 +1316,16 @@ class BatchPipeline:
         # quiet batches reuse compiled programs
         self.wire_counts: dict = {}
         self._wu_sticky: dict = {}
+        # grouped decisions fetch (see _FETCH_GROUP_AUTO): env pin, or 0
+        # for the measured-latency auto escalation
+        self.fetch_group = int(os.environ.get("FLACENC_FETCH_GROUP", "0")
+                               or 0)
+        self._fetch_ewma: Optional[float] = None  # fetch-only wall EWMA
+        self._group_open: list = []   # [(enc, chunk, nums, rate)]
+        self._group_ref: Optional[dict] = None
+        self.grouped_batches = 0      # stats: batches fetched via groups
+        self._concat_warm = None      # background concat-compile future
+        self._concat_shape: Optional[tuple] = None
 
     def _put(self, a):
         if self._sharding is not None:
@@ -1456,13 +1484,104 @@ class BatchPipeline:
         path whenever the link, not the CPU, is the bottleneck."""
         import time as _time
 
+        t_f = _time.perf_counter()
         dec = self._fetch(enc)
+        dt = _time.perf_counter() - t_f
+        # fetch-only wall EWMA: steady slow fetches (serialized tunnel
+        # round trips) escalate to the grouped fetch; concurrent io
+        # threads may race this float — harmless, it gates a heuristic
+        prev = self._fetch_ewma
+        self._fetch_ewma = dt if prev is None else 0.7 * prev + 0.3 * dt
         t0 = _time.perf_counter()
         frames = self.assemble(
             dec, chunk, nums, self.cfg, self.nch, self.bps,
             rate if rate is not None else 0, self.block_size,
         )
         return frames, _time.perf_counter() - t0
+
+    def _warm_concat(self, enc) -> None:
+        """Background-compile the G-way concat at this decisions shape
+        (an inline remote compile would stall the stream; zeros upload
+        compressed, so warming is cheap even on slow links)."""
+        import concurrent.futures
+
+        if self._compile_pool is None:
+            self._compile_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=2
+            )
+        shape, dtype = tuple(enc.shape), enc.dtype
+        self._concat_shape = shape
+        g = self.fetch_group or _FETCH_GROUP_AUTO
+
+        def warm():
+            fn = _group_concat_fn(g)
+            zs = [jnp.zeros(shape, dtype) for _ in range(g)]
+            jax.block_until_ready(fn(*zs))
+
+        self._concat_warm = self._compile_pool.submit(warm)
+
+    def _group_target(self, enc) -> int:
+        """Fetch-group size for THIS batch: 1 (fetch alone) until slow
+        fetches are measured and the concat program is warm; then G.
+        Only decisions-shaped (native2) batches at the warmed shape
+        group — a tail batch at a smaller bucket would force an inline
+        concat recompile, so it takes the per-batch path."""
+        if self.packer != "native2":
+            return 1
+        g = self.fetch_group or _FETCH_GROUP_AUTO
+        if g <= 1:
+            return 1
+        if not self.fetch_group:
+            f = self._fetch_ewma
+            if f is None or f <= _GROUP_FETCH_MIN_S:
+                return 1
+        if self._concat_warm is None:
+            self._warm_concat(enc)
+            return 1
+        if not self._concat_warm.done():
+            return 1
+        self._concat_warm.result()  # surface background compile errors
+        if tuple(enc.shape) != self._concat_shape:
+            return 1
+        return g
+
+    def _flush_group(self) -> None:
+        """Submit the open fetch group as ONE io task (one transfer)."""
+        entries, ref = self._group_open, self._group_ref
+        self._group_open, self._group_ref = [], None
+        if not entries or ref is None:
+            return
+        self.grouped_batches += len(entries)
+        ref["future"] = self._pool.submit(self._fetch_assemble_group,
+                                          entries)
+
+    def _fetch_assemble_group(self, entries):
+        """io thread: ONE device->host transfer for the whole group's
+        decisions (on-device concat of the coalesced (B, F) buffers),
+        then per-batch C++ frame assembly. Returns [(frames, pack_s)]
+        in entry order. A partial (tail) group skips the concat — it
+        happens once per stream and a fresh concat shape would compile
+        inline — and fetches per batch instead."""
+        import time as _time
+
+        encs = [e[0] for e in entries]
+        if len(encs) == (self.fetch_group or _FETCH_GROUP_AUTO):
+            cat = _group_concat_fn(len(encs))(*encs)
+            rows_all = np.asarray(jax.device_get(cat))
+            sizes = [int(e.shape[0]) for e in encs]
+            parts = np.split(rows_all, np.cumsum(sizes)[:-1], axis=0)
+        else:
+            parts = [np.asarray(jax.device_get(e)) for e in encs]
+        out = []
+        for rows, (enc, chunk, nums, rate) in zip(parts, entries):
+            dec = split_decisions(np.ascontiguousarray(rows), self.nch)
+            t0 = _time.perf_counter()
+            frames = self.assemble(
+                dec, chunk, nums, self.cfg, self.nch, self.bps,
+                rate if rate is not None else 0, self.block_size,
+            )
+            out.append((frames, _time.perf_counter() - t0))
+        return out
 
     def _upload_dispatch_fetch(self, chunk, payload, wire, nums, rate):
         """io thread (STRICT mode only): strict host arrays + upload +
@@ -1579,8 +1698,23 @@ class BatchPipeline:
             # the blocking fetch AND the C++ frame assembly go to the
             # pool (see _fetch_assemble)
             enc = self._fn_for(wire)(*map(self._put, payload))
-            fut = self._pool.submit(self._fetch_assemble, enc, chunk, nums,
-                                    rate)
+            if self._group_target(enc) > 1:
+                # grouped fetch: park this batch in the open group; ONE
+                # io task fetches the whole group in one transfer when
+                # it fills (or at drain_all / a forced drain)
+                if self._group_ref is None:
+                    self._group_ref = {"future": None, "kinds": [],
+                                       "bytes": []}
+                ref = self._group_ref
+                fut = ("g", ref, len(self._group_open))
+                self._group_open.append((enc, chunk, nums, rate))
+                ref["kinds"].append(self._wire_kind)
+                ref["bytes"].append(upload_bytes)
+                if len(self._group_open) >= self._group_target(enc):
+                    self._flush_group()
+            else:
+                fut = self._pool.submit(self._fetch_assemble, enc, chunk,
+                                        nums, rate)
         self._in_flight.append(
             (fut, nums, len(blocks_list), cookie, upload_bytes,
              self._wire_kind)
@@ -1600,6 +1734,37 @@ class BatchPipeline:
             self._in_flight.pop(0)
         )
         t0 = _time.perf_counter()
+        if isinstance(fut, tuple) and fut[0] == "g":
+            # grouped-fetch entry: groups flush in submit order and
+            # drains pop oldest-first, so an unflushed ref here IS the
+            # open group (the stream ended or a drain was forced before
+            # it filled)
+            _, ref, idx = fut
+            if ref["future"] is None:
+                self._flush_group()
+            if ref["future"] is None:  # defensive: flush must set it
+                raise RuntimeError("grouped fetch entry lost its group")
+            group_out = ref["future"].result()
+            batch_frames, pack_s = group_out[idx]
+            t1 = _time.perf_counter()
+            if idx == len(group_out) - 1:
+                # one racer sample per group: the gap since the previous
+                # group-final drain spans the whole group, so normalize
+                # to per-batch units; only a kind-homogeneous group
+                # following the same kind attributes cleanly
+                g = len(group_out)
+                kinds = ref.get("kinds", [wire_kind])
+                if (self._last_drain is not None and saturated
+                        and all(k == wire_kind for k in kinds)
+                        and wire_kind == self._prev_drain_kind):
+                    mean_bytes = sum(ref.get("bytes", [up_bytes])) / g
+                    self._est.update(
+                        mean_bytes, (t1 - self._last_drain) / g, wire_kind
+                    )
+                self._prev_drain_kind = wire_kind
+                self._last_drain = t1
+            return BatchResult(batch_frames[:n_valid], nums[:n_valid],
+                               cookie, t1 - t0, pack_s)
         batch_frames, pack_s = fut.result()
         t1 = _time.perf_counter()
         if (self._last_drain is not None and saturated
@@ -1615,6 +1780,8 @@ class BatchPipeline:
                            t1 - t0, pack_s)
 
     def drain_all(self):
+        if self._group_open:
+            self._flush_group()
         while self._in_flight:
             yield self.drain_one()
 

@@ -941,3 +941,52 @@ def test_long_unary_pairs_byte_identical():
     ).to_bytes()
     assert d_n2 == d_py
     assert np.array_equal(decode_stream(parse_stream(d_n2)), x)
+
+
+def test_grouped_fetch_byte_identical(monkeypatch):
+    """FLACENC_FETCH_GROUP=G fetches G batches' decisions in ONE
+    device->host transfer (on-device concat); bytes must equal the
+    per-batch path across every sub-path: the warm-up batch shipped
+    before the concat compiles, full groups, and the partial tail
+    group flushed by drain_all (which skips the concat)."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    blocks = [
+        np.cumsum(rng.integers(-120, 121, (2, 512)), -1).astype(np.int32)
+        for _ in range(11)
+    ]
+    cfg = config.Encoder()
+
+    def run(group, depth=None):
+        monkeypatch.setenv("FLACENC_FETCH_GROUP", str(group))
+        p = be.BatchPipeline(cfg, 2, 16, 512, 1, upload_pack=False)
+        if depth is not None:
+            p.depth = depth
+        frames = []
+        try:
+            for i, blk in enumerate(blocks):
+                r = p.submit([blk], np.asarray([i]), rate=44100)
+                if r:
+                    frames.extend(r.frames)
+                if i == 0 and group > 1:
+                    # deterministic: wait for the background concat
+                    # compile so batches 1.. take the grouped path
+                    assert p._concat_warm is not None
+                    p._concat_warm.result(timeout=120)
+            for r in p.drain_all():
+                frames.extend(r.frames)
+        finally:
+            p.close()
+        return b"".join(f.precomputed_bitstream for f in frames), p
+
+    base, p1 = run(1)
+    assert p1.grouped_batches == 0
+    grouped, p4 = run(4)
+    # batch 0 warms (per-batch); batches 1..10 group as 4 + 4 + 2 (tail)
+    assert p4.grouped_batches == 10
+    assert grouped == base
+    # depth < group: drain_one force-flushes the open group mid-stream
+    forced, pf = run(4, depth=2)
+    assert pf.grouped_batches == 10
+    assert forced == base
