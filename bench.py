@@ -320,6 +320,7 @@ def _stage_extras(stats, n_samples, rate):
         "device_wait_s": round(dev, 3),
         "host_ceiling_x_realtime": round((n_samples / rate) / host, 1),
         "batches": stats.get("batches"),
+        "grouped_batches": stats.get("grouped_batches"),
         "link_mbps": stats.get("link_mbps"),
     }
 

@@ -1987,6 +1987,7 @@ def encode_with_fixed_block_size(
             frames=len(frames),
             link_mbps=round(pipe._est.mbps, 1) if pipe._est.mbps else None,
             wire_batches={repr(k): v for k, v in pipe.wire_counts.items()},
+            grouped_batches=pipe.grouped_batches,
             **_acc,
         )
     from ..log import info_stats
