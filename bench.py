@@ -278,6 +278,13 @@ def _timed_trials(audio, rate, bps, block, batch, packer, trials,
             # trials samples distinct bandwidth windows instead of
             # replaying one bad one
             time.sleep(trial_gap_s)
+            # grouped-program compiles the previous trial kicked (e.g.
+            # for the wire the racer settled on) finish during the gap,
+            # so the next trial groups from its first batches
+            try:
+                be.wait_group_warms(timeout=120)
+            except Exception:
+                pass  # a failed grouped warm must not kill the bench
         src = MemSource(audio, 2, bps, rate)
         trial_stats = {}
         t0 = time.perf_counter()
@@ -357,12 +364,21 @@ def main_worker() -> None:
 
     cfg = config.Encoder().into_verified()
 
+    # grouped device roundtrip: pin G=4 (env override respected) so the
+    # warm-up encode kicks the grouped-program compile at batch 0 and
+    # the timed trials group from their first batches — on the tunneled
+    # link this replaces ~3 serialized RPCs per batch with ~3 per group
+    os.environ.setdefault("FLACENC_FETCH_GROUP", "4")
+
     # warmup: compile the device program + native packer + first-exec warmup
     warm = make_audio(warm_seconds, rate)
     be.encode_with_fixed_block_size(
         cfg, MemSource(warm, 2, bps, rate), block, batch_size=batch,
         packer=packer,
     )
+    # block on the grouped-program background compiles the warm encode
+    # started; otherwise short trials race the compile and never group
+    be.wait_group_warms(timeout=300)
 
     audio = make_audio(seconds, rate)
     extra_base = {"seconds_encoded": seconds, "batch": batch,

@@ -390,6 +390,7 @@ def build_encoder_fn(
     decisions_only: bool = False,
     packed_wire: Optional[Tuple[int, int]] = None,
     wire_encoded: bool = False,
+    grouped: int = 0,
 ):
     """Builds the jitted device program for one (config, C, bps, T) combo.
 
@@ -510,6 +511,18 @@ def build_encoder_fn(
             # round trips per fetched batch instead of ten
             return coalesce_encoded_small(enc), enc.errors
         return enc
+
+    if grouped:
+        # grouped device roundtrip: G stacked payloads in, (G, B, F)
+        # decisions out — the per-batch program is the lax.map body, so
+        # XLA compiles/tiles it exactly once at the measured-good batch
+        # shape instead of re-tiling a G*B flat batch
+        def encode_group(*stacked):
+            return jax.lax.map(
+                lambda xs: encode_batch(*xs), tuple(stacked)
+            )
+
+        return jax.jit(encode_group)
 
     return jax.jit(encode_batch)
 
@@ -842,24 +855,41 @@ _FRESH_SECONDS = 15.0
 # batches between full try_pack scans when a cached rice plan keeps
 # packing cleanly (see BatchPipeline._try_pack_cached)
 _PLAN_RESCAN_EVERY = 16
-# grouped decisions fetch: tunneled transports serialize transfers, so a
-# decisions fetch costs a full ~25-70 ms round trip of channel time
-# regardless of its ~200 KB payload; fetching G batches' coalesced
-# decisions in ONE device->host transfer (a trivial on-device concat)
-# divides that per-RPC cost by G. On PCIe-class links a fetch is
+# grouped device roundtrip: tunneled transports serialize transfers AND
+# charge a fixed ~25-70 ms RPC round trip per transfer regardless of
+# payload size (measured: 8 x 256-block batches cost ~16 serialized
+# RPCs >> their byte time). Stacking G batches' wire payloads host-side
+# (a memcpy), uploading ONCE, running ONE lax.map-over-G program (the
+# per-batch program as the scan body, so the well-tiled 256-batch
+# kernels are reused — a 4x bigger flat batch measured strictly WORSE),
+# and fetching ONE (G, B, F) decisions buffer divides the per-RPC cost
+# by G in both directions. On PCIe-class links a transfer is
 # sub-millisecond and grouping would only delay assembly, so auto mode
-# engages grouping ONLY once the measured fetch-only wall EWMA exceeds
-# _GROUP_FETCH_MIN_S (and the concat program has background-compiled —
+# engages ONLY once the measured fetch-only wall EWMA exceeds
+# _GROUP_FETCH_MIN_S (and the grouped program has background-compiled —
 # an inline remote compile would stall the stream). FLACENC_FETCH_GROUP
 # pins the group size (1 = never group).
 _FETCH_GROUP_AUTO = 4
 _GROUP_FETCH_MIN_S = 0.015
+# process-wide registry of warmed grouped programs (compile + one run),
+# mirroring _WARMED_WIRES: a new pipeline must not re-pay the compile
+# fallback for a grouped program an earlier encode already warmed
+_WARMED_GROUPS: set = set()
+# outstanding background group-warm futures: a bench/caller can block on
+# these after a warm-up encode so timed runs group from their first
+# batches instead of racing the compile (see wait_group_warms)
+_GROUP_WARM_FUTURES: list = []
 
 
-@functools.lru_cache(maxsize=None)
-def _group_concat_fn(n: int):
-    """Jitted G-way batch-axis concat for the grouped decisions fetch."""
-    return jax.jit(lambda *xs: jnp.concatenate(xs, axis=0))
+def wait_group_warms(timeout: Optional[float] = None) -> None:
+    """Block until every outstanding grouped-program background compile
+    has finished (no-op when none are pending). A warm-up encode only
+    STARTS these compiles; short timed encodes right after it would
+    otherwise run per-batch while the compile races them."""
+    global _GROUP_WARM_FUTURES
+    pending, _GROUP_WARM_FUTURES = _GROUP_WARM_FUTURES, []
+    for fut in pending:
+        fut.result(timeout=timeout)
 
 
 class LinkEstimator:
@@ -1090,11 +1120,11 @@ _WARMED_WIRES: set = set()
 @functools.lru_cache(maxsize=64)
 def _cached_encoder_fn(cfg_key, nchannels, bps, block_size,
                        strict_lpc=False, decisions_only=False,
-                       packed_wire=None, wire_encoded=False):
+                       packed_wire=None, wire_encoded=False, grouped=0):
     cfg = config_mod.Encoder.from_toml(cfg_key)
     return build_encoder_fn(
         cfg, nchannels, bps, block_size, strict_lpc, decisions_only,
-        packed_wire, wire_encoded,
+        packed_wire, wire_encoded, grouped,
     )
 
 
@@ -1316,16 +1346,17 @@ class BatchPipeline:
         # quiet batches reuse compiled programs
         self.wire_counts: dict = {}
         self._wu_sticky: dict = {}
-        # grouped decisions fetch (see _FETCH_GROUP_AUTO): env pin, or 0
-        # for the measured-latency auto escalation
+        # grouped device roundtrip (see _FETCH_GROUP_AUTO): env pin, or
+        # 0 for the measured-latency auto escalation
         self.fetch_group = int(os.environ.get("FLACENC_FETCH_GROUP", "0")
                                or 0)
         self._fetch_ewma: Optional[float] = None  # fetch-only wall EWMA
-        self._group_open: list = []   # [(enc, chunk, nums, rate)]
+        self._group_open: list = []  # [(payload, wire, chunk, nums, rate)]
         self._group_ref: Optional[dict] = None
-        self.grouped_batches = 0      # stats: batches fetched via groups
-        self._concat_warm = None      # background concat-compile future
-        self._concat_shape: Optional[tuple] = None
+        self.grouped_batches = 0      # stats: batches through group tasks
+        self._group_warm = None       # background grouped-compile future
+        self._group_wire = None       # wire of the warmed grouped program
+        self._group_shapes: Optional[tuple] = None
 
     def _put(self, a):
         if self._sharding is not None:
@@ -1499,34 +1530,60 @@ class BatchPipeline:
         )
         return frames, _time.perf_counter() - t0
 
-    def _warm_concat(self, enc) -> None:
-        """Background-compile the G-way concat at this decisions shape
-        (an inline remote compile would stall the stream; zeros upload
-        compressed, so warming is cheap even on slow links)."""
+    def _payload_shapes(self, payload) -> tuple:
+        return tuple((tuple(a.shape), str(a.dtype)) for a in payload)
+
+    def _group_fn(self, wire):
+        """Jitted grouped program for a (wire, G) combo."""
+        return _cached_encoder_fn(
+            self.cfg.to_toml(), self.nch, self.bps, self.block_size,
+            self.strict_lpc, self.packer == "native2",
+            packed_wire=wire,
+            wire_encoded=self.packer != "native2",
+            grouped=self.fetch_group or _FETCH_GROUP_AUTO,
+        )
+
+    def _warm_group(self, wire, payload) -> None:
+        """Background-compile + run the grouped program at this wire's
+        payload shapes (an inline remote compile would stall the
+        stream; zeros upload compressed, so warming is cheap even on
+        slow links). Consults the process-wide _WARMED_GROUPS registry
+        so later pipelines skip the re-warm."""
         import concurrent.futures
 
         if self._compile_pool is None:
             self._compile_pool = concurrent.futures.ThreadPoolExecutor(
                 max_workers=2
             )
-        shape, dtype = tuple(enc.shape), enc.dtype
-        self._concat_shape = shape
         g = self.fetch_group or _FETCH_GROUP_AUTO
+        shapes = self._payload_shapes(payload)
+        self._group_wire, self._group_shapes = wire, shapes
+        key = (self._warm_key(wire, shapes), g)
 
         def warm():
-            fn = _group_concat_fn(g)
-            zs = [jnp.zeros(shape, dtype) for _ in range(g)]
+            fn = self._group_fn(wire)
+            if key in _WARMED_GROUPS:
+                return
+            zs = [jnp.zeros((g,) + s, d) for s, d in shapes]
             jax.block_until_ready(fn(*zs))
+            _WARMED_GROUPS.add(key)
 
-        self._concat_warm = self._compile_pool.submit(warm)
+        if key in _WARMED_GROUPS:
+            done: concurrent.futures.Future = concurrent.futures.Future()
+            done.set_result(None)
+            self._group_warm = done
+            return
+        self._group_warm = self._compile_pool.submit(warm)
+        _GROUP_WARM_FUTURES.append(self._group_warm)
 
-    def _group_target(self, enc) -> int:
-        """Fetch-group size for THIS batch: 1 (fetch alone) until slow
-        fetches are measured and the concat program is warm; then G.
-        Only decisions-shaped (native2) batches at the warmed shape
-        group — a tail batch at a smaller bucket would force an inline
-        concat recompile, so it takes the per-batch path."""
-        if self.packer != "native2":
+    def _group_target(self, wire, payload) -> int:
+        """Roundtrip-group size for THIS batch: 1 (ship alone) until
+        slow fetches are measured and the grouped program is warm; then
+        G. Only decisions-only (native2), unsharded batches matching
+        the warmed (wire, shapes) group — anything else (a tail batch
+        at a smaller bucket, a racer wire flip) would force an inline
+        recompile, so it takes the per-batch path."""
+        if self.packer != "native2" or self._sharding is not None:
             return 1
         g = self.fetch_group or _FETCH_GROUP_AUTO
         if g <= 1:
@@ -1535,45 +1592,52 @@ class BatchPipeline:
             f = self._fetch_ewma
             if f is None or f <= _GROUP_FETCH_MIN_S:
                 return 1
-        if self._concat_warm is None:
-            self._warm_concat(enc)
+        if (self._group_warm is None or wire != self._group_wire
+                or self._payload_shapes(payload) != self._group_shapes):
+            self._warm_group(wire, payload)
             return 1
-        if not self._concat_warm.done():
+        if not self._group_warm.done():
             return 1
-        self._concat_warm.result()  # surface background compile errors
-        if tuple(enc.shape) != self._concat_shape:
-            return 1
+        self._group_warm.result()  # surface background compile errors
         return g
 
     def _flush_group(self) -> None:
-        """Submit the open fetch group as ONE io task (one transfer)."""
+        """Submit the open group as ONE io task: one stacked upload, one
+        grouped dispatch, one (G, B, F) fetch, per-batch assembly."""
         entries, ref = self._group_open, self._group_ref
         self._group_open, self._group_ref = [], None
         if not entries or ref is None:
             return
         self.grouped_batches += len(entries)
-        ref["future"] = self._pool.submit(self._fetch_assemble_group,
-                                          entries)
+        ref["future"] = self._pool.submit(self._roundtrip_group, entries)
 
-    def _fetch_assemble_group(self, entries):
-        """io thread: ONE device->host transfer for the whole group's
-        decisions (on-device concat of the coalesced (B, F) buffers),
-        then per-batch C++ frame assembly. Returns [(frames, pack_s)]
-        in entry order. A partial (tail) group skips the concat — it
-        happens once per stream and a fresh concat shape would compile
-        inline — and fetches per batch instead."""
+    def _roundtrip_group(self, entries):
+        """io thread: the whole group's device roundtrip. A full group
+        stacks payload components host-side (a memcpy), uploads each
+        stacked component ONCE, runs the lax.map-over-G program, and
+        fetches ONE (G, B, F) decisions buffer — 3 serialized RPCs for
+        G batches instead of ~3G. A partial (tail/forced-flush) group
+        dispatches the per-batch program instead — it happens once per
+        stream end or wire flip, and a fresh G would compile inline.
+        Returns [(frames, pack_s)] in entry order."""
         import time as _time
 
-        encs = [e[0] for e in entries]
-        if len(encs) == (self.fetch_group or _FETCH_GROUP_AUTO):
-            cat = _group_concat_fn(len(encs))(*encs)
-            rows_all = np.asarray(jax.device_get(cat))
-            sizes = [int(e.shape[0]) for e in encs]
-            parts = np.split(rows_all, np.cumsum(sizes)[:-1], axis=0)
+        g = self.fetch_group or _FETCH_GROUP_AUTO
+        if len(entries) == g:
+            stacked = [
+                np.stack([e[0][i] for e in entries])
+                for i in range(len(entries[0][0]))
+            ]
+            enc_g = self._group_fn(entries[0][1])(*map(self._put, stacked))
+            rows_all = np.asarray(jax.device_get(enc_g))  # (G, B, F)
+            parts = list(rows_all)
         else:
+            encs = [
+                self._fn_for(e[1])(*map(self._put, e[0])) for e in entries
+            ]
             parts = [np.asarray(jax.device_get(e)) for e in encs]
         out = []
-        for rows, (enc, chunk, nums, rate) in zip(parts, entries):
+        for rows, (payload, wire, chunk, nums, rate) in zip(parts, entries):
             dec = split_decisions(np.ascontiguousarray(rows), self.nch)
             t0 = _time.perf_counter()
             frames = self.assemble(
@@ -1697,22 +1761,32 @@ class BatchPipeline:
             # in-order device execution overlap the io thread's fetches);
             # the blocking fetch AND the C++ frame assembly go to the
             # pool (see _fetch_assemble)
-            enc = self._fn_for(wire)(*map(self._put, payload))
-            if self._group_target(enc) > 1:
-                # grouped fetch: park this batch in the open group; ONE
-                # io task fetches the whole group in one transfer when
-                # it fills (or at drain_all / a forced drain)
+            if self._group_open and (
+                    self._group_open[0][1] != wire
+                    or self._payload_shapes(self._group_open[0][0])
+                    != self._payload_shapes(payload)):
+                # racer wire flip / payload shape change: ship the open
+                # group now so mixed payloads never stack into one
+                # grouped program
+                self._flush_group()
+            if self._group_target(wire, payload) > 1:
+                # grouped roundtrip: park this batch's HOST payload in
+                # the open group; ONE io task uploads + dispatches +
+                # fetches the whole group when it fills (or at
+                # drain_all / a forced drain)
                 if self._group_ref is None:
                     self._group_ref = {"future": None, "kinds": [],
                                        "bytes": []}
                 ref = self._group_ref
                 fut = ("g", ref, len(self._group_open))
-                self._group_open.append((enc, chunk, nums, rate))
+                self._group_open.append((payload, wire, chunk, nums, rate))
                 ref["kinds"].append(self._wire_kind)
                 ref["bytes"].append(upload_bytes)
-                if len(self._group_open) >= self._group_target(enc):
+                if len(self._group_open) >= self._group_target(wire,
+                                                               payload):
                     self._flush_group()
             else:
+                enc = self._fn_for(wire)(*map(self._put, payload))
                 fut = self._pool.submit(self._fetch_assemble, enc, chunk,
                                         nums, rate)
         self._in_flight.append(

@@ -944,11 +944,12 @@ def test_long_unary_pairs_byte_identical():
 
 
 def test_grouped_fetch_byte_identical(monkeypatch):
-    """FLACENC_FETCH_GROUP=G fetches G batches' decisions in ONE
-    device->host transfer (on-device concat); bytes must equal the
-    per-batch path across every sub-path: the warm-up batch shipped
-    before the concat compiles, full groups, and the partial tail
-    group flushed by drain_all (which skips the concat)."""
+    """FLACENC_FETCH_GROUP=G runs G batches through ONE device
+    roundtrip (stacked upload + lax.map program + one (G, B, F)
+    fetch); bytes must equal the per-batch path across every sub-path:
+    the warm-up batch shipped before the grouped program compiles,
+    full groups, and the partial tail group flushed by drain_all
+    (which dispatches per batch)."""
     if not native.available():
         pytest.skip("native library unavailable")
     rng = np.random.default_rng(11)
@@ -970,10 +971,10 @@ def test_grouped_fetch_byte_identical(monkeypatch):
                 if r:
                     frames.extend(r.frames)
                 if i == 0 and group > 1:
-                    # deterministic: wait for the background concat
+                    # deterministic: wait for the background grouped
                     # compile so batches 1.. take the grouped path
-                    assert p._concat_warm is not None
-                    p._concat_warm.result(timeout=120)
+                    assert p._group_warm is not None
+                    p._group_warm.result(timeout=120)
             for r in p.drain_all():
                 frames.extend(r.frames)
         finally:
