@@ -271,6 +271,8 @@ def _timed_trials(audio, rate, bps, block, batch, packer, trials,
     best = None
     data = b""
     stats = {}
+    all_x = []  # every trial's x-realtime: spread vs best separates
+    #             round-over-round progress from link-window luck
     n_samples = len(audio) // 2
     for i in range(trials):
         if i:
@@ -294,6 +296,7 @@ def _timed_trials(audio, rate, bps, block, batch, packer, trials,
         )
         data = stream.to_bytes()
         elapsed = time.perf_counter() - t0
+        all_x.append(round((n_samples / rate) / elapsed, 1))
         if best is None or elapsed < best:
             best = elapsed
             stats = trial_stats
@@ -301,9 +304,20 @@ def _timed_trials(audio, rate, bps, block, batch, packer, trials,
             x = (n_samples / rate) / best
             _emit(x, dict(extra_base,
                           degraded=True, trials_done=i + 1,
+                          trials_x_realtime=list(all_x),
+                          median_x_realtime=_median(all_x),
                           bits_per_sample=round(len(data) * 8 / len(audio), 4),
                           **_stage_extras(stats, n_samples, rate)))
-    return best, data, stats
+    return best, data, stats, all_x
+
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    if not n:
+        return None
+    mid = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    return round(mid, 1)
 
 
 def _stage_extras(stats, n_samples, rate):
@@ -378,12 +392,16 @@ def main_worker() -> None:
     )
     # block on the grouped-program background compiles the warm encode
     # started; otherwise short trials race the compile and never group
-    be.wait_group_warms(timeout=300)
+    try:
+        be.wait_group_warms(timeout=300)
+    except Exception:
+        pass  # a failed grouped warm must not kill the bench (trials
+        #       fall back to per-batch roundtrips; still a valid number)
 
     audio = make_audio(seconds, rate)
     extra_base = {"seconds_encoded": seconds, "batch": batch,
                   "packer": packer}
-    best, data, stats = _timed_trials(
+    best, data, stats, all_x = _timed_trials(
         audio, rate, bps, block, batch, packer, trials, trial_gap,
         emit_partial=True, extra_base=extra_base,
     )
@@ -392,6 +410,8 @@ def main_worker() -> None:
     x_realtime = (n_samples / rate) / best
     bits_per_sample = len(data) * 8 / len(audio)
     stage = _stage_extras(stats, n_samples, rate)
+    stage["trials_x_realtime"] = all_x
+    stage["median_x_realtime"] = _median(all_x)
 
     # same-corpus reference proxy: strict mode reproduces the reference
     # STABLE build's float semantics byte-for-byte for this config
@@ -488,13 +508,15 @@ def main_local_ceiling() -> None:
         "backend": "cpu (tpu tunnel unavailable during bench window)",
         "seconds_encoded": seconds, "batch": batch, "packer": packer,
     }
-    best, data, stats = _timed_trials(
+    best, data, stats, all_x = _timed_trials(
         audio, rate, bps, block, batch, packer, trials=2, trial_gap_s=2.0,
         emit_partial=True, extra_base=extra_base,
     )
     x = (n_samples / rate) / best
     _emit(x, dict(
         extra_base,
+        trials_x_realtime=all_x,
+        median_x_realtime=_median(all_x),
         bits_per_sample=round(len(data) * 8 / len(audio), 4),
         note=(
             "DEGRADED: measured on the in-process CPU backend because the "

@@ -1467,10 +1467,13 @@ class BatchPipeline:
         if (plan is not None and plan[0] == "r"
                 and self._rice_plan_age < _PLAN_RESCAN_EVERY):
             _, order, p, wu = plan
-            # pack straight at the sticky budget: submit()'s pad-to-floor
-            # concat (a full copy of the unary plane) becomes a no-op on
-            # this steady path
-            wu = max(wu, self._wu_sticky.get((order, p), 0))
+            # pack at the plan's ORIGINAL unary budget: a chunk that
+            # overflows it triggers the full try_pack rescan (fresh
+            # (order, p) choice) instead of silently packing a louder
+            # chunk under a stale plan at the (possibly larger) sticky
+            # floor — advisor r4. On the steady path the floor equals
+            # the plan's wu and submit()'s pad-to-floor stays a no-op;
+            # only the rare floor>wu batch pays the concat copy there.
             packed = (
                 native.pack_rice(chunk, order, p, wu)
                 if native.available()
@@ -1574,6 +1577,12 @@ class BatchPipeline:
             self._group_warm = done
             return
         self._group_warm = self._compile_pool.submit(warm)
+        # prune settled futures on append: long-lived processes that
+        # never call wait_group_warms must not accumulate one future per
+        # wire flip / shape change forever (advisor r4)
+        _GROUP_WARM_FUTURES[:] = [
+            f for f in _GROUP_WARM_FUTURES if not f.done()
+        ]
         _GROUP_WARM_FUTURES.append(self._group_warm)
 
     def _group_target(self, wire, payload) -> int:
@@ -1629,7 +1638,17 @@ class BatchPipeline:
                 for i in range(len(entries[0][0]))
             ]
             enc_g = self._group_fn(entries[0][1])(*map(self._put, stacked))
+            t_f = _time.perf_counter()
             rows_all = np.asarray(jax.device_get(enc_g))  # (G, B, F)
+            # feed the per-batch share of the grouped fetch back into the
+            # fetch EWMA: without it auto-grouping was a one-way ratchet
+            # (the EWMA only updated on the per-batch path, so a single
+            # slow window engaged grouping forever) — now a recovered
+            # link drives the amortized share under _GROUP_FETCH_MIN_S
+            # and auto mode de-escalates to per-batch roundtrips
+            dt = (_time.perf_counter() - t_f) / len(entries)
+            prev = self._fetch_ewma
+            self._fetch_ewma = dt if prev is None else 0.7 * prev + 0.3 * dt
             parts = list(rows_all)
         else:
             encs = [

@@ -142,10 +142,36 @@ def _run_dcn_pair(tmp_path, attempt: int):
     return ok, logs, outs
 
 
+# log signatures of INFRA failures (port steal between probe and bind,
+# distributed-init timeout on a loaded box, coordinator unreachable);
+# only these are retried with a fresh port — any other nonzero child
+# exit is a real encoder/cluster bug and must fail immediately, not be
+# masked by a lucky retry (advisor r4)
+_INFRA_SIGNATURES = (
+    "child timed out",            # _run_dcn_pair's own timeout marker
+    "address already in use",
+    "failed to bind",
+    "bind failed",
+    "deadline_exceeded",
+    "deadline exceeded",
+    "connection refused",
+    "failed to connect",
+    "unavailable: ",
+    "timed out waiting",
+    "barrier timed out",
+    "coordination service",
+)
+
+
+def _is_infra_failure(logs) -> bool:
+    text = "\n".join(logs).lower()
+    return any(sig in text for sig in _INFRA_SIGNATURES)
+
+
 def test_two_process_dcn_corpus_matches_single_process(tmp_path):
     for attempt in range(3):
         ok, logs, outs = _run_dcn_pair(tmp_path, attempt)
-        if ok:
+        if ok or not _is_infra_failure(logs):
             break
     assert ok, "\n---\n".join(log[-2000:] for log in logs)
 
