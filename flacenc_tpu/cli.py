@@ -58,7 +58,13 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     enc.add_argument(
         "--cpu-only", action="store_true",
-        help="use the scalar reference encoder instead of the TPU pipeline",
+        help="run the batched pipeline on the host CPU backend (byte-"
+             "identical to the device path, no device/tunnel needed)",
+    )
+    enc.add_argument(
+        "--oracle", action="store_true",
+        help="use the scalar numpy reference encoder (the parity oracle; "
+             "~100x slower than --cpu-only's batched pipeline)",
     )
     enc.add_argument(
         "--strict-float", action="store_true",
@@ -87,6 +93,10 @@ def _build_parser() -> argparse.ArgumentParser:
         "--strict-float", action="store_true",
         help="exact stable-reference float semantics (see encode)",
     )
+    corp.add_argument(
+        "--cpu-only", action="store_true",
+        help="run the batched pipeline on the host CPU backend (see encode)",
+    )
 
     dec = sub.add_parser("decode", help="decode FLAC to WAV (experimental)")
     dec.add_argument("source", help="input FLAC file")
@@ -97,6 +107,100 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     dec.add_argument("--no-verify", action="store_true", help="skip CRC/MD5 checks")
     return p
+
+
+def _default_platform_is_cpu() -> bool:
+    """True when the process's default jax platform is (pinned to) cpu —
+    the live config wins over the env (a tunnel sitecustomize pins the
+    platform at interpreter start, overriding JAX_PLATFORMS)."""
+    import os
+    import sys as _sys
+
+    if "jax" in _sys.modules:
+        try:
+            live = _sys.modules["jax"].config.jax_platforms
+            if live:
+                return "cpu" in str(live)
+        except Exception:
+            pass
+    return "cpu" in os.environ.get("JAX_PLATFORMS", "")
+
+
+def _probe_device(timeout_s: float) -> bool:
+    """Bounded liveness check of the default jax backend (bench.py's
+    probe, VERDICT r4 #4): the first op runs on a daemon thread so a
+    wedged tunnel — which blocks inside the runtime where no Python
+    exception can fire — is detected by timeout instead of hanging the
+    encode indefinitely."""
+    import threading
+
+    ok = []
+
+    def run():
+        try:
+            import jax.numpy as jnp
+
+            ok.append(bool(np.asarray(jnp.arange(8) + 1)[3] == 4))
+        except Exception as e:  # noqa: BLE001 - any backend failure
+            display.error(f"device probe error: {e!r}")
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
+def _ensure_live_backend(args) -> None:
+    """Pin/validate the compute backend BEFORE the first compile.
+
+    --cpu-only pins the in-process jax platform to cpu (the batched
+    pipeline runs byte-identically there). Otherwise, on a non-cpu
+    default platform, a bounded device probe runs first; on timeout the
+    CLI RE-EXECS itself on the CPU backend with a warning instead of
+    hanging forever inside a wedged tunnel (the probe thread may be
+    blocked holding backend-init state, so a clean exec — not a config
+    flip — is the only reliable in-process recovery). The re-exec adds
+    --cpu-only, so it cannot loop. FLACENC_CLI_NO_PROBE=1 skips the
+    probe (for callers who manage the backend themselves);
+    FLACENC_CLI_PROBE_TIMEOUT_S tunes the bound (default 75, like
+    bench.py)."""
+    import os
+
+    if getattr(args, "cpu_only", False):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        return
+    if _default_platform_is_cpu() or os.environ.get("FLACENC_CLI_NO_PROBE"):
+        return
+    timeout_s = float(os.environ.get("FLACENC_CLI_PROBE_TIMEOUT_S", "75"))
+    if _probe_device(timeout_s):
+        return
+    display.error(
+        f"device backend unresponsive after {timeout_s:.0f} s; "
+        "falling back to the CPU backend (--cpu-only; byte-identical "
+        "output, lower throughput)"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # strip platform-hijacking plugins (the tunnel sitecustomize re-pins
+    # the platform at interpreter start, overriding the env); keep this
+    # package importable in the child
+    import os.path as _osp
+
+    pkg_parent = _osp.dirname(_osp.dirname(_osp.abspath(__file__)))
+    env["PYTHONPATH"] = ":".join(
+        [pkg_parent] + [
+            p for p in env.get("PYTHONPATH", "").split(":")
+            if p and "axon" not in p
+        ]
+    )
+    argv = list(getattr(args, "_argv", sys.argv[1:]))
+    os.execve(
+        sys.executable,
+        [sys.executable, "-m", "flacenc_tpu.cli"] + argv + ["--cpu-only"],
+        env,
+    )
 
 
 def _stream_struct(stream) -> dict:
@@ -142,21 +246,26 @@ def main_enc(args) -> int:
 
     src = WavFileSource(args.source)
     channels, bits, rate = src.channels(), src.bits_per_sample(), src.sample_rate()
-    t0 = time.perf_counter()
 
-    if args.batch_size and args.cpu_only:
+    if args.batch_size and args.oracle:
         print(
-            "note: --batch-size has no effect with --cpu-only "
+            "note: --batch-size has no effect with --oracle "
             "(the scalar reference encoder has no device batches)",
             file=sys.stderr,
         )
+    if not args.oracle:
+        # pin --cpu-only to the cpu backend / probe a non-cpu backend
+        # with a bounded timeout BEFORE the first compile (a wedged
+        # tunnel otherwise hangs the encode forever — VERDICT r4 #4)
+        _ensure_live_backend(args)
+    t0 = time.perf_counter()
 
     def run():
         kwargs = {}
-        if args.batch_size and not args.cpu_only:
+        if args.batch_size and not args.oracle:
             kwargs["batch_size"] = args.batch_size
         return flacenc_tpu.encode_with_fixed_block_size(
-            verified, src, cfg.block_size, use_tpu=not args.cpu_only,
+            verified, src, cfg.block_size, use_tpu=not args.oracle,
             strict_lpc=True if args.strict_float else None, **kwargs,
         )
 
@@ -199,6 +308,7 @@ def main_corpus(args) -> int:
 
     sources = [(path, WavFileSource(path)) for path in args.sources]
     os.makedirs(args.output_dir, exist_ok=True)
+    _ensure_live_backend(args)
     t0 = time.perf_counter()
     corpus_kwargs = {}
     if args.batch_size:
@@ -272,6 +382,7 @@ def main(argv=None) -> int:
     if argv and argv[0] not in ("encode", "encode-corpus", "decode", "-h", "--help"):
         argv.insert(0, "encode")
     args = _build_parser().parse_args(argv)
+    args._argv = argv  # original argv for the probe-failure re-exec
     display.banner()
     if args.command is None:
         _build_parser().print_help()

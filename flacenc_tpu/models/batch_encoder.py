@@ -419,6 +419,14 @@ def build_encoder_fn(
                 blocks = upack.unpack_rice(
                     lo, unary, firsts, block_size, order, p
                 )
+            elif packed_wire[0] == "m":
+                _, om, pm, wum, os2, ps, wus = packed_wire
+                lo, unary, firsts = blocks, ext[0], ext[1]
+                ext = ext[2:]
+                blocks = upack.unpack_ms(
+                    lo, unary, firsts, block_size, om, pm, wum, os2, ps,
+                    wus,
+                )
             elif packed_wire[0] == "d":
                 _, order = packed_wire
                 d, firsts = blocks, ext[0]
@@ -1357,6 +1365,22 @@ class BatchPipeline:
         self._group_warm = None       # background grouped-compile future
         self._group_wire = None       # wire of the warmed grouped program
         self._group_shapes: Optional[tuple] = None
+        # opt-in per-batch event timeline (FLACENC_TIMELINE=1): absolute
+        # perf_counter stamps appended from the main AND io threads
+        # (list.append is atomic) so tools/overlap.py can reconstruct
+        # which host stages actually hide under the link and which
+        # serialize on the main thread. Off by default: ~zero cost, but
+        # the events would bloat the stats dict on long streams.
+        self.timeline: Optional[list] = (
+            [] if os.environ.get("FLACENC_TIMELINE") else None
+        )
+        self._seq = 0  # submit sequence number (timeline batch id)
+
+    def _mark(self, event: str, idx, *extra) -> None:
+        if self.timeline is not None:
+            import time as _time
+
+            self.timeline.append((event, idx, _time.perf_counter()) + extra)
 
     def _put(self, a):
         if self._sharding is not None:
@@ -1451,6 +1475,9 @@ class BatchPipeline:
             wire, payload = packed
             if wire[0] == "r":  # pre-seed the sticky budget too
                 self._wu_sticky[(wire[1], wire[2])] = wire[3]
+            elif wire[0] == "m":
+                _, om, pm, wum, os2, ps, wus = wire
+                self._wu_sticky[("m", om, pm, os2, ps)] = (wum, wus)
             self._start_warm(wire, payload)
 
     def _try_pack_cached(self, chunk):
@@ -1464,6 +1491,15 @@ class BatchPipeline:
 
         plan = self._rice_plan
         self._rice_plan_age += 1
+        if (plan is not None and plan[0] == "m"
+                and self._rice_plan_age < _PLAN_RESCAN_EVERY):
+            # mid/side plan reuse: pack at the plan's original per-plane
+            # budgets; an overflow on either plane falls through to the
+            # full rescan (same semantics as the "r" plan cache)
+            _, om, pm, wum, os2, ps, wus = plan
+            packed = upack.pack_ms(chunk, om, pm, wum, os2, ps, wus)
+            if packed is not None:
+                return plan, packed
         if (plan is not None and plan[0] == "r"
                 and self._rice_plan_age < _PLAN_RESCAN_EVERY):
             _, order, p, wu = plan
@@ -1509,7 +1545,7 @@ class BatchPipeline:
         wire, errors = jax.device_get(enc)
         return split_encoded(np.asarray(wire), np.asarray(errors), self.nch)
 
-    def _fetch_assemble(self, enc, chunk, nums, rate):
+    def _fetch_assemble(self, enc, chunk, nums, rate, seq=None):
         """io thread: blocking fetch + C++ frame assembly. Assembly
         (residual recompute + bit pack, GIL released) runs HERE so it
         fills the core during link waits instead of serializing after
@@ -1518,9 +1554,11 @@ class BatchPipeline:
         path whenever the link, not the CPU, is the bottleneck."""
         import time as _time
 
+        self._mark("fetch_start", seq)
         t_f = _time.perf_counter()
         dec = self._fetch(enc)
         dt = _time.perf_counter() - t_f
+        self._mark("fetch_done", seq)
         # fetch-only wall EWMA: steady slow fetches (serialized tunnel
         # round trips) escalate to the grouped fetch; concurrent io
         # threads may race this float — harmless, it gates a heuristic
@@ -1531,6 +1569,7 @@ class BatchPipeline:
             dec, chunk, nums, self.cfg, self.nch, self.bps,
             rate if rate is not None else 0, self.block_size,
         )
+        self._mark("asm_done", seq)
         return frames, _time.perf_counter() - t0
 
     def _payload_shapes(self, payload) -> tuple:
@@ -1632,12 +1671,14 @@ class BatchPipeline:
         import time as _time
 
         g = self.fetch_group or _FETCH_GROUP_AUTO
+        self._mark("gtrip_start", len(entries))
         if len(entries) == g:
             stacked = [
                 np.stack([e[0][i] for e in entries])
                 for i in range(len(entries[0][0]))
             ]
             enc_g = self._group_fn(entries[0][1])(*map(self._put, stacked))
+            self._mark("gissued", len(entries))
             t_f = _time.perf_counter()
             rows_all = np.asarray(jax.device_get(enc_g))  # (G, B, F)
             # feed the per-batch share of the grouped fetch back into the
@@ -1649,6 +1690,7 @@ class BatchPipeline:
             dt = (_time.perf_counter() - t_f) / len(entries)
             prev = self._fetch_ewma
             self._fetch_ewma = dt if prev is None else 0.7 * prev + 0.3 * dt
+            self._mark("gfetch_done", len(entries))
             parts = list(rows_all)
         else:
             encs = [
@@ -1664,6 +1706,7 @@ class BatchPipeline:
                 rate if rate is not None else 0, self.block_size,
             )
             out.append((frames, _time.perf_counter() - t0))
+        self._mark("gasm_done", len(entries))
         return out
 
     def _upload_dispatch_fetch(self, chunk, payload, wire, nums, rate):
@@ -1685,6 +1728,9 @@ class BatchPipeline:
         `blocks_list` is a list of (C, T) blocks OR a premade (k, C, T)
         int32 array (the bulk `Source.read_blocks_batch` path — skips the
         per-block stack copy)."""
+        seq = self._seq
+        self._seq += 1
+        self._mark("submit", seq)
         if isinstance(blocks_list, np.ndarray):
             chunk = _bucket_pad(blocks_list, self.batch_size)
         else:
@@ -1739,6 +1785,17 @@ class BatchPipeline:
                     wire, payload = ("r", o, p, floor), (lo, unary, firsts)
                 else:
                     self._wu_sticky[(o, p)] = wu
+            elif wire[0] == "m":
+                # per-plane sticky budgets (same jit-key economy as "r")
+                from ..ops import upack
+                _, om, pm, wum, os2, ps, wus = wire
+                key = ("m", om, pm, os2, ps)
+                fm, fs = self._wu_sticky.get(key, (0, 0))
+                fm, fs = max(fm, wum), max(fs, wus)
+                self._wu_sticky[key] = (fm, fs)
+                if fm > wum or fs > wus:
+                    payload = upack.pad_ms_unary(payload, wum, wus, fm, fs)
+                    wire = ("m", om, pm, fm, os2, ps, fs)
         else:
             wire = None
             if self.bps > 16:
@@ -1759,6 +1816,7 @@ class BatchPipeline:
         self._wire_kind = (
             "raw" if wire is None else ("d" if wire[0] == "d" else "pack")
         )
+        self._mark("packed", seq, self._wire_kind, upload_bytes)
         self.upload_pack = wire is not None
         self.wire_counts[wire] = self.wire_counts.get(wire, 0) + 1
         nums = np.asarray(nums)
@@ -1801,13 +1859,15 @@ class BatchPipeline:
                 self._group_open.append((payload, wire, chunk, nums, rate))
                 ref["kinds"].append(self._wire_kind)
                 ref["bytes"].append(upload_bytes)
+                self._mark("parked", seq)
                 if len(self._group_open) >= self._group_target(wire,
                                                                payload):
                     self._flush_group()
             else:
                 enc = self._fn_for(wire)(*map(self._put, payload))
+                self._mark("issued", seq)
                 fut = self._pool.submit(self._fetch_assemble, enc, chunk,
-                                        nums, rate)
+                                        nums, rate, seq)
         self._in_flight.append(
             (fut, nums, len(blocks_list), cookie, upload_bytes,
              self._wire_kind)
@@ -1826,6 +1886,7 @@ class BatchPipeline:
         fut, nums, n_valid, cookie, up_bytes, wire_kind = (
             self._in_flight.pop(0)
         )
+        self._mark("drain_start", None)
         t0 = _time.perf_counter()
         if isinstance(fut, tuple) and fut[0] == "g":
             # grouped-fetch entry: groups flush in submit order and
@@ -1856,6 +1917,7 @@ class BatchPipeline:
                     )
                 self._prev_drain_kind = wire_kind
                 self._last_drain = t1
+            self._mark("drain_done", None)
             return BatchResult(batch_frames[:n_valid], nums[:n_valid],
                                cookie, t1 - t0, pack_s)
         batch_frames, pack_s = fut.result()
@@ -1869,6 +1931,7 @@ class BatchPipeline:
             self._est.update(up_bytes, t1 - self._last_drain, wire_kind)
         self._prev_drain_kind = wire_kind
         self._last_drain = t1
+        self._mark("drain_done", None)
         return BatchResult(batch_frames[:n_valid], nums[:n_valid], cookie,
                            t1 - t0, pack_s)
 
@@ -1984,6 +2047,16 @@ def encode_with_fixed_block_size(
     frames: List[Frame] = []
     tail: Optional[np.ndarray] = None
     framebuf = FrameBuf(nch, block_size)
+    total_hint = src.len_hint()
+    if total_hint is not None:
+        full_blocks = total_hint // block_size
+        if 0 < full_blocks < batch_size:
+            # short stream: the single padded batch would burn device
+            # time on padding rows (a 3 s clip = 32 blocks padded to 64
+            # doubles the compute). Clamp to the next power of two so
+            # padding stays < 2x while jit keys stay few (a power-of-2
+            # ladder, not one program per odd file length).
+            batch_size = max(8, 1 << (int(full_blocks) - 1).bit_length())
     pipe = BatchPipeline(
         cfg, nch, bps, block_size, batch_size, packer, strict_lpc, mesh,
         upload_pack,
@@ -2015,7 +2088,9 @@ def encode_with_fixed_block_size(
         # deinterleave pass (the per-block loop costs ~5 ms/256-block
         # batch in copies + hash-queue items on a single-core host)
         t0 = _time.perf_counter()
+        pipe._mark("read_start", 0)
         bulk = src.read_blocks_batch(batch_size, block_size, context)
+        pipe._mark("read_done", 0)
         _acc["read_s"] += _time.perf_counter() - t0
         if bulk is not None:
             while True:
@@ -2026,7 +2101,9 @@ def encode_with_fixed_block_size(
                 if k < batch_size:
                     break  # no further full block exists
                 t0 = _time.perf_counter()
+                pipe._mark("read_start", n_full // batch_size)
                 bulk = src.read_blocks_batch(batch_size, block_size, context)
+                pipe._mark("read_done", n_full // batch_size)
                 _acc["read_s"] += _time.perf_counter() - t0
         while True:
             t0 = _time.perf_counter()
@@ -2083,6 +2160,8 @@ def encode_with_fixed_block_size(
             grouped_batches=pipe.grouped_batches,
             **_acc,
         )
+        if pipe.timeline is not None:
+            stats["timeline"] = list(pipe.timeline)
     from ..log import info_stats
 
     # stream-path run stats (the par-mode JSONL line, par.rs:414-421)

@@ -24,6 +24,18 @@ one bits before it, so quotients are a cumsum + scatter-add — no
 sequential bit cursor, no data-dependent shapes. On the bench corpus
 this lands at ~1.25 B/sample where the best fixed width is 1.5.
 
+("m", om, pm, wum, os, ps, wus) — mid/side rice (stereo only): the
+FLAC m = (l+r)>>1, s = l-r transform first, then an INDEPENDENT
+rice-coded plane each (own delta order, rice p, unary budget),
+concatenated into the same 3-array payload shape as "r" so transfer
+count per batch does not grow. On correlated stereo material the s
+plane's delta entropy sits several bits below either raw channel's, so
+this wire removes the inter-channel redundancy the joint-(L,R) rice
+wire cannot see (measured on the bench corpus: 1.221 B/sample vs the
+joint wire's 1.252; far larger gaps on real stereo recordings whose
+channels share program material). Decode is two plane decodes + the
+exact l = m + ((s + (s&1)) >> 1), r = l - s inversion.
+
 ("d", order) — delta16: the deltas shipped as PLAIN int16 — same
 nominal bytes as raw PCM but far more transport-compressible (tunneled
 device transports compress payloads, and tonal deltas are
@@ -288,6 +300,97 @@ def pack_rice(chunk: np.ndarray, order: int, p: int, wu: int):
     return lo, unary, firsts
 
 
+def ms_planes(chunk: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """FLAC mid/side transform of a (B, 2, T) stereo chunk (the same
+    m = (l+r)>>1, s = l-r the encoder's stereo search uses,
+    reference src/coding.rs:469-527): two CONTIGUOUS (B, T) int32
+    planes, exactly invertible (l = m + ((s + (s&1)) >> 1), r = l - s).
+    For correlated stereo material the s plane's delta entropy is far
+    below either raw channel's, so rice-coding the planes separately
+    beats the joint-(L, R) rice wire by the inter-channel redundancy."""
+    l = chunk[:, 0].astype(np.int64)
+    r = chunk[:, 1].astype(np.int64)
+    m = np.ascontiguousarray(((l + r) >> 1).astype(np.int32))
+    s = np.ascontiguousarray((l - r).astype(np.int32))
+    return m, s
+
+
+def plan_ms(sums_m: np.ndarray, sums_s: np.ndarray, T: int):
+    """Per-plane rice plans from the planes' scan sums: (plan_m, plan_s,
+    total_bytes) or None. Each plan is (order, p, Wu) chosen
+    independently — the planes' statistics differ by design (that
+    asymmetry is the whole win), so a shared p would sit between the
+    two optima and forfeit most of it."""
+    pm = rice_plan(sums_m, T)
+    ps = rice_plan(sums_s, T)
+    if pm is None or ps is None:
+        return None
+    return pm[:3], ps[:3], pm[3] + ps[3]
+
+
+def pack_ms(chunk: np.ndarray, om: int, pm: int, wum: int,
+            os2: int, ps: int, wus: int, planes=None):
+    """The ("m", om, pm, wum, os2, ps, wus) wire: mid/side transform,
+    then an independent rice-coded plane each (reusing the "r" pack per
+    plane), CONCATENATED into the same 3-array payload shape as the "r"
+    wire — (lo (B, Lm+Ls) u32, unary (B, wum+wus) u32, firsts (B, 4)
+    i32) — so payload arity (= transfer count per batch) does not grow.
+    None if either plane overflows its unary budget. `planes` passes
+    precomputed (m, s) to skip the transform."""
+    from .. import native
+
+    m, s = ms_planes(chunk) if planes is None else planes
+    pk = native.pack_rice if native.available() else pack_rice
+    a = pk(m, om, pm, wum)
+    if a is None:
+        return None
+    b = pk(s, os2, ps, wus)
+    if b is None:
+        return None
+    lo = np.concatenate([a[0], b[0]], axis=-1)
+    unary = np.concatenate([a[1], b[1]], axis=-1)
+    firsts = np.concatenate([a[2], b[2]], axis=-1)
+    return lo, unary, firsts
+
+
+def pad_ms_unary(payload, wum: int, wus: int, fm: int, fs: int):
+    """Re-pad a packed ms payload's unary planes to the sticky floors
+    (fm >= wum, fs >= wus): zero padding past each plane's terminators
+    is decode-inert (`unpack_rice` drops bits past the T-th one-bit)."""
+    lo, unary, firsts = payload
+    segs = [unary[..., :wum]]
+    if fm > wum:
+        segs.append(np.zeros(unary.shape[:-1] + (fm - wum,), np.uint32))
+    segs.append(unary[..., wum:])
+    if fs > wus:
+        segs.append(np.zeros(unary.shape[:-1] + (fs - wus,), np.uint32))
+    return lo, np.concatenate(segs, axis=-1), firsts
+
+
+def _ms_plan_for(chunk: np.ndarray, bps: int):
+    """Scan-only ms planning: ((m, s) planes, (plan_m, plan_s), bytes)
+    or None when the chunk isn't eligible stereo."""
+    from .. import native
+
+    if (chunk.ndim != 3 or chunk.shape[1] != 2 or bps > MAX_PACK_BPS
+            or chunk.shape[-1] < 2):
+        return None
+    T = chunk.shape[-1]
+    planes = ms_planes(chunk)
+    m, s = planes
+    fm = native.scan_wire(m)
+    if fm is not NotImplemented:
+        sums_m = fm[0]
+        sums_s = native.scan_wire(s)[0]
+    else:
+        sums_m = scan_rice_np(m)
+        sums_s = scan_rice_np(s)
+    plans = plan_ms(np.asarray(sums_m), np.asarray(sums_s), T)
+    if plans is None:
+        return None
+    return planes, plans[:2], plans[2]
+
+
 def pack_delta(chunk: np.ndarray, order: int = 2):
     """The ("d", order) wire: order-`order` wrapping deltas shipped as
     PLAIN int16 — same nominal bytes as raw PCM but far more
@@ -366,6 +469,19 @@ def try_pack(chunk: np.ndarray, bps: int = 16):
     rice = rice_plan(np.asarray(sums), T)
     if rice is not None and rice[3] >= raw_bytes:
         rice = None
+    # mid/side candidate (stereo only): per-plane rice coding removes the
+    # inter-channel redundancy the joint-(L,R) wire cannot see — on
+    # correlated material the s plane's delta entropy is several bits
+    # below either channel's. Costs one transform + one extra scan pass;
+    # the pipeline's plan cache amortizes this across batches.
+    ms = _ms_plan_for(chunk, bps)
+    if ms is not None and ms[2] < min(
+            x for x in (raw_bytes, width_bytes,
+                        rice[3] if rice else None) if x is not None):
+        planes, ((om, pm, wum), (os2, ps, wus)), _ = ms
+        packed = pack_ms(chunk, om, pm, wum, os2, ps, wus, planes=planes)
+        if packed is not None:
+            return ("m", om, pm, wum, os2, ps, wus), packed
     if rice is not None and (width_bytes is None or rice[3] < width_bytes):
         r_order, p, wu, _ = rice
         packed = (
@@ -455,3 +571,21 @@ def unpack_rice(lo: jnp.ndarray, unary: jnp.ndarray, firsts: jnp.ndarray,
         z = z | _extract_fields(lo, T, p)
     d = (z >> 1).astype(jnp.int32) ^ -(z & 1).astype(jnp.int32)
     return _reconstruct(d, firsts, T, order)
+
+
+def unpack_ms(lo: jnp.ndarray, unary: jnp.ndarray, firsts: jnp.ndarray,
+              T: int, om: int, pm: int, wum: int,
+              os2: int, ps: int, wus: int) -> jnp.ndarray:
+    """Device-side inverse of `pack_ms`: per-plane rice decode at STATIC
+    slice boundaries (Lm = T*pm/32, wum from the wire tuple), then the
+    exact FLAC mid/side inversion l = m + ((s + (s&1)) >> 1), r = l - s
+    (l+r and l-r share parity, so (l+r)&1 == s&1 and the floor the
+    forward (l+r)>>1 dropped is recoverable — component/decode.py uses
+    the same identity). Returns (B, 2, T) int32."""
+    Lm = T * pm // 32
+    m = unpack_rice(lo[..., :Lm], unary[..., :wum], firsts[..., 0:2],
+                    T, om, pm)
+    s = unpack_rice(lo[..., Lm:], unary[..., wum:], firsts[..., 2:4],
+                    T, os2, ps)
+    l = m + ((s + (s & jnp.int32(1))) >> 1)
+    return jnp.stack([l, l - s], axis=1)

@@ -296,9 +296,19 @@ def one_upload_case(seed: int, block_size: int = 512) -> None:
         # order 2 wins only when d1 exceeds the 8-bit tier while d2 (an
         # extra factor omega smaller) lands below it: keep the tone loud
         shift = int(rng.integers(0, 2))
+    # ~1/3 of stereo cases correlate the channels (shared base + small
+    # per-channel noise): the mid/side wire only wins there, so without
+    # these the "m" kind would never be covered
+    correlated = channels == 2 and rng.integers(0, 3) == 0
     interleaved = np.zeros(signal_len * channels, dtype=np.int32)
+    base = None
     for ch in range(channels):
-        if tonal:
+        if correlated and ch == 1:
+            spread = max(1, int(rng.integers(1, 64)))
+            x = base + rng.integers(-spread, spread, signal_len)
+            lim = 1 << (bps - 1)
+            x = np.clip(x, -lim, lim - 1).astype(np.int64)
+        elif tonal:
             # noise-free smooth tone: second-order deltas are ~omega x
             # smaller than first-order, steering the scan to order 2
             x = sigen.Sine(
@@ -308,7 +318,7 @@ def one_upload_case(seed: int, block_size: int = 512) -> None:
         else:
             x = random_signal_gen(rng).to_vec_quantized(bps, signal_len)
         x = x >> shift
-        if rng.integers(0, 3) == 0:
+        if not (correlated and ch == 1) and rng.integers(0, 3) == 0:
             # splice full-scale noise into a random span so delta fit
             # flips between batches (exercises the mid-stream fallback
             # and the multi-program path)
@@ -316,17 +326,23 @@ def one_upload_case(seed: int, block_size: int = 512) -> None:
             b = int(rng.integers(a, signal_len))
             full = 1 << (bps - 1)
             x[a:b] = rng.integers(-full, full, b - a, dtype=np.int64)
+        if correlated and ch == 0:
+            base = x.copy()
         interleaved[ch::channels] = x
     # record which wire each 4-block batch would select (coverage
-    # witness): None (raw), ("w", order, width), or ("r", order, p, Wu)
+    # witness): None (raw), ("w", order, width), ("r", order, p, Wu), or
+    # ("m", om, pm, wum, os, ps, wus). Shaped (B, C, T) exactly like the
+    # pipeline's chunks — the ms wire reads axis 1 as channels.
     nb = signal_len // block_size
     for i in range(0, max(nb, 1), 4):
         blocks = interleaved.reshape(-1, channels).T[
             :, i * block_size:(i + 4) * block_size
         ]
         if blocks.shape[1] and blocks.shape[1] % block_size == 0:
-            out = upack.try_pack(blocks.reshape(channels, -1, block_size),
-                                 bps)
+            out = upack.try_pack(
+                blocks.reshape(channels, -1, block_size).transpose(1, 0, 2),
+                bps,
+            )
             one_upload_case.formats_seen.add(out[0] if out else None)
     # default config only: this tier tests WIRE transparency, and every
     # (config, wire) pair is a fresh jit compile — config interplay is
@@ -465,7 +481,8 @@ def main() -> int:
             # and a spread of rice parameters
             assert None in seen, "raw-fallback batches never exercised"
             kinds = {f[0] for f in seen if f}
-            assert kinds == {"r", "w", "d"}, f"wire kinds covered: {kinds}"
+            assert kinds == {"r", "w", "d", "m"}, \
+                f"wire kinds covered: {kinds}"
             orders = {f[1] for f in seen if f}
             assert orders == {1, 2}, f"delta orders covered: {orders}"
             rice_ps = {f[2] for f in seen if f and f[0] == "r"}

@@ -196,11 +196,14 @@ def test_cli_encode_streams_bounded_memory(tmp_path):
     write_wav(str(tmp_path / "big.wav"), x, 2, 16, rate)
     del x, t
 
-    # warmup encode spanning several FULL blocks: the device program must
-    # compile outside the measured region (a shorter-than-block file would
-    # exercise only the scalar tail path and leave ~200 MB of jit tracing
-    # inside the traced window)
-    _make_wav(tmp_path / "warm.wav", 2, 16, rate, 13000)
+    # warmup encode spanning at least DEFAULT_BATCH full blocks: the
+    # device program for the DEFAULT batch size must compile outside the
+    # measured region (a shorter file hits the short-stream batch-size
+    # clamp and warms a SMALLER program, leaving ~15 MB of jit tracing
+    # for the big file's program inside the traced window)
+    from flacenc_tpu.models.batch_encoder import DEFAULT_BATCH
+
+    _make_wav(tmp_path / "warm.wav", 2, 16, rate, DEFAULT_BATCH * 4096 + 1000)
     assert main([
         "encode", str(tmp_path / "warm.wav"),
         "-o", str(tmp_path / "warm.flac"),

@@ -508,8 +508,13 @@ def test_rice_plan_cache_reuse_and_rescan(monkeypatch):
             rng.integers(-50, 51, (4, 2, 512)), -1
         ).astype(np.int32)
         # sparse spikes: a fixed-width wire would need >=15-bit fields,
-        # rice absorbs them in the unary plane -> the scan picks "r"
-        quiet[..., ::97] += 9000
+        # rice absorbs them in the unary plane -> the scan picks "r".
+        # Per-channel DIFFERENT spike positions keep the channels
+        # decorrelated so the mid/side candidate loses the byte race
+        # (common-mode spikes would cancel in the s plane and flip the
+        # scan to the "m" wire, which has its own cache test)
+        quiet[:, 0, ::97] += 9000
+        quiet[:, 1, 31::89] -= 9000
         scans = []
         real_try_pack = upack.try_pack
         monkeypatch.setattr(
@@ -991,3 +996,137 @@ def test_grouped_fetch_byte_identical(monkeypatch):
     forced, pf = run(4, depth=2)
     assert pf.grouped_batches == 10
     assert forced == base
+
+
+def _correlated_stereo_blocks(B, T, bps=16, seed=7, spread=40):
+    """(B, 2, T) int32 blocks whose channels share a base tone: the side
+    channel is small, so the mid/side wire should win the byte race."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(T) / 44100.0
+    amp = (1 << (bps - 1)) * 0.4
+    base = (amp * np.sin(
+        2 * np.pi * 331 * t[None, :] * (1 + 0.002 * rng.standard_normal((B, 1)))
+    )).astype(np.int32)
+    l = base + rng.integers(-spread, spread, (B, T)).astype(np.int32)
+    r = base + rng.integers(-spread, spread, (B, T)).astype(np.int32)
+    lim = 1 << (bps - 1)
+    return np.clip(np.stack([l, r], axis=1), -lim, lim - 1).astype(np.int32)
+
+
+def test_ms_wire_roundtrip_exact():
+    """Mid/side wire codec: unpack_ms(pack_ms(x)) == x, including the
+    parity edge cases of the (l+r)>>1 floor and full-scale extremes; the
+    sticky-floor re-pad is decode-inert."""
+    import jax
+
+    from flacenc_tpu.ops import upack
+
+    T = 512
+    cases = [_correlated_stereo_blocks(3, T)]
+    # full-scale anti-correlated extremes: s = l - r spans 17 bits
+    ext = np.zeros((1, 2, T), np.int32)
+    ext[0, 0, 0::2] = 32767
+    ext[0, 1, 0::2] = -32768
+    ext[0, 0, 1::2] = -32768
+    ext[0, 1, 1::2] = 32767
+    cases.append(ext)
+    # 24-bit correlated content (hi-res side channel spans 25 bits)
+    cases.append(_correlated_stereo_blocks(2, T, bps=24, spread=5000))
+    for x in cases:
+        m, s = upack.ms_planes(x)
+        # exact invertibility of the transform itself
+        l2 = m + ((s + (s & 1)) >> 1)
+        assert np.array_equal(np.stack([l2, l2 - s], 1), x)
+        sums_m = upack.scan_rice_np(m)
+        sums_s = upack.scan_rice_np(s)
+        plans = upack.plan_ms(sums_m, sums_s, T)
+        assert plans is not None
+        (om, pm, wum), (os2, ps, wus), _ = plans
+        payload = upack.pack_ms(x, om, pm, wum, os2, ps, wus)
+        assert payload is not None
+        fn = jax.jit(lambda lo, u, f: upack.unpack_ms(
+            lo, u, f, T, om, pm, wum, os2, ps, wus))
+        y = np.asarray(fn(*payload))
+        assert np.array_equal(y, x)
+        # sticky-floor pad: zero words past each plane's terminators
+        fm, fs = wum + 16, wus + 48
+        padded = upack.pad_ms_unary(payload, wum, wus, fm, fs)
+        fn2 = jax.jit(lambda lo, u, f: upack.unpack_ms(
+            lo, u, f, T, om, pm, fm, os2, ps, fs))
+        assert np.array_equal(np.asarray(fn2(*padded)), x)
+
+
+def test_try_pack_prefers_ms_on_correlated_stereo():
+    """try_pack picks the ("m", ...) wire exactly when the per-plane byte
+    total beats the joint formats, and never offers it off-stereo."""
+    from flacenc_tpu.ops import upack
+
+    T = 1024
+    corr = _correlated_stereo_blocks(4, T)
+    out = upack.try_pack(corr, 16)
+    assert out is not None and out[0][0] == "m", out and out[0]
+    ms_bytes = sum(a.nbytes for a in out[1])
+    joint = upack.rice_plan(upack.scan_rice_np(corr), T)
+    assert ms_bytes < joint[3]  # the win try_pack acted on
+
+    # mono chunk: ms ineligible, joint formats still work
+    mono = corr[:, :1, :]
+    out_mono = upack.try_pack(mono, 16)
+    assert out_mono is None or out_mono[0][0] in ("r", "w")
+
+
+def test_ms_wire_pipeline_byte_identical():
+    """Forced packed upload on correlated stereo engages the ms wire in
+    the real pipeline; bytes match the raw-wire encode exactly, including
+    across a loud->quiet batch sequence that exercises the per-plane
+    sticky unary floors."""
+    rng = np.random.default_rng(11)
+    quiet = _correlated_stereo_blocks(4, 512, seed=1, spread=12)
+    loud = _correlated_stereo_blocks(4, 512, seed=2, spread=300)
+    seq = [quiet[i] for i in range(4)] + [loud[i] for i in range(4)] \
+        + [quiet[(i + 1) % 4] for i in range(4)]
+
+    def run(upload_pack):
+        p = be.BatchPipeline(config.Encoder(), 2, 16, 512, 2,
+                             upload_pack=upload_pack)
+        frames = []
+        for i, blk in enumerate(seq):
+            r = p.submit([blk], np.asarray([i]), rate=44100)
+            if r:
+                frames.extend(r.frames)
+        for r in p.drain_all():
+            frames.extend(r.frames)
+        kinds = {(k[0] if k else None) for k in p.wire_counts}
+        p.close()
+        return b"".join(f.precomputed_bitstream for f in frames), kinds
+
+    data_ms, kinds_ms = run(True)
+    data_raw, kinds_raw = run(False)
+    assert "m" in kinds_ms, kinds_ms
+    assert kinds_raw == {None}
+    assert data_ms == data_raw
+
+
+def test_ms_plan_cache_reuse_and_overflow_rescan(monkeypatch):
+    """_try_pack_cached reuses an ms plan without re-scanning on steady
+    content and falls back to the full rescan when a louder batch
+    overflows either plane's unary budget."""
+    from flacenc_tpu.ops import upack
+
+    p = be.BatchPipeline(config.Encoder(), 2, 16, 512, 4,
+                         upload_pack="auto")
+    quiet = _correlated_stereo_blocks(4, 512, seed=3, spread=10)
+    loud = _correlated_stereo_blocks(4, 512, seed=4, spread=4000)
+
+    scans = []
+    real_try_pack = upack.try_pack
+    monkeypatch.setattr(
+        upack, "try_pack",
+        lambda *a, **k: scans.append(1) or real_try_pack(*a, **k),
+    )
+    wire1, payload1 = p._try_pack_cached(quiet)
+    assert wire1[0] == "m" and len(scans) == 1
+    wire2, payload2 = p._try_pack_cached(quiet)
+    assert wire2 == wire1 and len(scans) == 1  # cache hit, no rescan
+    p._try_pack_cached(loud)   # overflows the quiet plan -> rescan
+    assert len(scans) == 2

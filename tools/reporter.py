@@ -222,6 +222,18 @@ def main() -> int:
             ref_s = f"{ref_rate:.5f}" if ref_rate else "n/a (experimental)"
             f.write(f"| {name} | {rate_:.5f} | {ref_s} |\n")
         f.write("\n## Encode speed (inverse RTF, higher is better)\n\n")
+        f.write(
+            "**Methodology — these are SHORT-CLIP LATENCY numbers, not\n"
+            "steady-state throughput.** Each corpus program is "
+            f"{args.seconds:.0f} s — one to a\nfew device batches — so "
+            "fixed per-stream costs (jit dispatch, ~70 ms\ntunnel round "
+            "trips, pipeline fill/drain) dominate the wall and the\n"
+            "column reads far below the pipeline's steady state. For "
+            "sustained\nthroughput on long streams see BENCH_r*.json "
+            "(bench.py: 600 s audio,\nwarm programs, spaced trials) and "
+            "report/hardware_configs.md (per-config\nsteady-state matrix); "
+            "those measure the same code at its operating\npoint.\n\n"
+        )
         f.write("| config | x realtime |\n|---|---|\n")
         for name, _, irtf, _ in rows:
             f.write(f"| {name} | {irtf:.1f} |\n")
