@@ -222,13 +222,28 @@ def encode_corpus(
                     break
                 k = chunk.shape[0]
                 total_samples[fi] += k * block_size
-                for i in range(k):
-                    pending.setdefault(rate, []).append(
-                        (fi, n_full[fi], chunk[i])
-                    )
-                    n_full[fi] += 1
-                    if len(pending[rate]) == batch_size:
-                        submit(rate)
+                if k == batch_size and not pending.get(rate):
+                    # aligned fast path: the bulk chunk IS one device
+                    # batch — hand the (B, C, T) array straight to the
+                    # pipeline (the stream path's zero-restack route;
+                    # the per-row pending loop below re-stacks ~8 MB per
+                    # batch on this 1-core host)
+                    bi0 = n_full[fi]
+                    n_full[fi] += k
+                    route(pipe.submit(
+                        chunk,
+                        np.arange(bi0, bi0 + k),
+                        rate=rate,
+                        cookie=[(fi, bi0 + i, None) for i in range(k)],
+                    ))
+                else:
+                    for i in range(k):
+                        pending.setdefault(rate, []).append(
+                            (fi, n_full[fi], chunk[i])
+                        )
+                        n_full[fi] += 1
+                        if len(pending[rate]) == batch_size:
+                            submit(rate)
                 if k < batch_size:
                     break
             while True:
