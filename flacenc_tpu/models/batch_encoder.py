@@ -1510,11 +1510,7 @@ class BatchPipeline:
             # floor — advisor r4. On the steady path the floor equals
             # the plan's wu and submit()'s pad-to-floor stays a no-op;
             # only the rare floor>wu batch pays the concat copy there.
-            packed = (
-                native.pack_rice(chunk, order, p, wu)
-                if native.available()
-                else upack.pack_rice(chunk, order, p, wu)
-            )
+            packed = upack._pk_for(order)(chunk, order, p, wu)
             if packed is not None:
                 return ("r", order, p, wu), packed
         packed_arrays = upack.try_pack(chunk, self.bps)

@@ -401,13 +401,23 @@ def scan_rice(chunk: np.ndarray):
     return sums.reshape(x.shape[:-1] + (2, 26))
 
 
+def rice4_supported() -> bool:
+    """True when the loaded library carries the order-3/4 wire ABI
+    (4-order scan + 4-lane warm-up firsts in pack_rice). A stale cached
+    .so returns False and the wire degrades to orders 1-2."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "flacenc_scan_wire4")
+
+
 def scan_wire(chunk: np.ndarray, stride: int = 1):
     """C++ FUSED wire scan — one pass over the batch returning both
-    upload-wire statistics: ((rows, 2, 26) int64 rice partial sums,
+    upload-wire statistics: ((rows, NORD, 26) int64 rice partial sums,
     (4,) int32 [d1_min, d1_max, d2_min, d2_max]), or NotImplemented when
-    the native library is unavailable. Replaces the separate
-    `scan_upload` + `scan_rice` passes on the hot path (~3x less
-    single-core host CPU per batch); those remain exported as oracles.
+    the native library is unavailable. NORD is 4 (delta orders 1-4) with
+    a current build, 2 with a stale cached library — `rice_plan` adapts
+    to either shape. Replaces the separate `scan_upload` + `scan_rice`
+    passes on the hot path (~3x less single-core host CPU per batch);
+    those remain exported as oracles.
 
     `stride` > 1 SAMPLES the rice partial sums (every stride-th sample;
     UNSCALED — callers multiply by stride and pad the unary budget): the
@@ -417,7 +427,11 @@ def scan_wire(chunk: np.ndarray, stride: int = 1):
     if lib is None or not hasattr(lib, "flacenc_scan_wire"):
         return NotImplemented
     narrow = chunk.dtype == np.int16
-    fn = lib.flacenc_scan_wire16 if narrow else lib.flacenc_scan_wire
+    four = hasattr(lib, "flacenc_scan_wire4")
+    if four:
+        fn = lib.flacenc_scan_wire16_4 if narrow else lib.flacenc_scan_wire4
+    else:
+        fn = lib.flacenc_scan_wire16 if narrow else lib.flacenc_scan_wire
     in_ctype = ctypes.c_int16 if narrow else ctypes.c_int32
     if getattr(fn, "argtypes", None) is None:
         fn.restype = None
@@ -430,20 +444,25 @@ def scan_wire(chunk: np.ndarray, stride: int = 1):
          else np.ascontiguousarray(chunk, dtype=np.int32))
     T = x.shape[-1]
     rows = x.size // T if T else 0
-    sums = np.zeros((rows, 2, 26), np.int64)
+    nord = 4 if four else 2
+    sums = np.zeros((rows, nord, 26), np.int64)
     mm = np.zeros(4, np.int32)
     fn(_ptr(x, in_ctype), rows, T, stride,
        _ptr(sums, ctypes.c_int64), _ptr(mm, ctypes.c_int32))
-    return sums.reshape(x.shape[:-1] + (2, 26)), mm
+    return sums.reshape(x.shape[:-1] + (nord, 26)), mm
 
 
 def pack_rice(chunk: np.ndarray, order: int, p: int, wu: int):
     """C++ single-pass rice-wire pack at fixed (order, p) with a static
     per-row unary word budget `wu`: (..., T) int ->
-    (lo (..., T*p/32) u32, unary (..., wu) u32, firsts (..., 2) i32),
-    or None if a row overflows the unary budget (caller falls back)."""
+    (lo (..., T*p/32) u32, unary (..., wu) u32,
+    firsts (..., 2 or 4) i32 — [x0, x1] for orders 1-2, the four
+    difference warm-ups for orders 3-4), or None if a row overflows the
+    unary budget (caller falls back). Orders 3-4 require the rice4 ABI
+    (`rice4_supported`); callers dispatch to the numpy oracle otherwise."""
     lib = _load()
     assert lib is not None, f"native packer unavailable: {_load_error}"
+    assert order <= 2 or rice4_supported(), "stale library: no rice4 ABI"
     narrow = chunk.dtype == np.int16
     fn = lib.flacenc_pack_rice16 if narrow else lib.flacenc_pack_rice
     in_ctype = ctypes.c_int16 if narrow else ctypes.c_int32
@@ -462,7 +481,7 @@ def pack_rice(chunk: np.ndarray, order: int, p: int, wu: int):
     rows = x.size // T if T else 0
     lo = np.empty(x.shape[:-1] + (T * p // 32,), np.uint32)
     unary = np.empty(x.shape[:-1] + (wu,), np.uint32)
-    firsts = np.empty(x.shape[:-1] + (2,), np.int32)
+    firsts = np.empty(x.shape[:-1] + (2 if order <= 2 else 4,), np.int32)
     ok = fn(
         _ptr(x, in_ctype), rows, T, order, p, wu,
         _ptr(lo, ctypes.c_uint32), _ptr(unary, ctypes.c_uint32),

@@ -1257,6 +1257,85 @@ static void scan_wire_impl(
     mm[0] = lo1; mm[1] = hi1; mm[2] = lo2; mm[3] = hi2;
 }
 
+// ---- 4-order wire scan ------------------------------------------------
+// scan_wire extended to delta orders 1..4 (FLAC's own fixed-predictor
+// range): sums is rows*4*26. Orders 3-4 exist for the upload wire on
+// oversampled hi-res material, where each extra differencing level cuts
+// the tonal residual by ~2*sin(pi*f/fs) (measured 12.0 -> 9.1
+// bits/sample on the 24/96 bench content at order 3). The min/max pair
+// still covers orders 1-2 only — the fixed-width wire stays there. The
+// scan keeps one zigzag buffer + two rolling delta buffers so every
+// inner loop stays unit-stride (same autovectorization contract as
+// scan_wire_impl); partial sums over t >= k match the numpy oracle
+// scan_rice_np exactly (entries below each order are zero by
+// convention on both sides).
+template <typename S>
+static void scan_wire4_impl(
+    const S* x, int64_t rows, int64_t T, int64_t stride,
+    int64_t* sums /* rows*4*26 (NP) */, int32_t* mm /* [lo1,hi1,lo2,hi2] */) {
+    const int NP = 26;
+    const int NORD = 4;
+    mm[0] = mm[1] = mm[2] = mm[3] = 0;
+    if (T < 1) return;
+    if (stride < 1) stride = 1;
+    std::vector<int32_t> dprev_v((size_t)T), dcur_v((size_t)T);
+    std::vector<uint32_t> zv((size_t)T);
+    int32_t* dprev = dprev_v.data();
+    int32_t* dcur = dcur_v.data();
+    uint32_t* z = zv.data();
+    int32_t lo1 = 0, hi1 = 0, lo2 = 0, hi2 = 0;
+    for (int64_t r = 0; r < rows; ++r) {
+        const S* xr = x + r * T;
+        int64_t* srow = sums + r * NORD * NP;
+        // per-p reductions with optional sampling (see scan_wire_impl)
+        const auto accumulate = [&](int64_t* sp, uint32_t zm) {
+            int64_t n = T;
+            if (stride > 1) {
+                n = (T + stride - 1) / stride;
+                for (int64_t i = 0; i < n; ++i) z[i] = z[i * stride];
+            }
+            for (int p = 0; p < NP; ++p) {
+                if ((zm >> p) == 0) { for (; p < NP; ++p) sp[p] = 0; break; }
+                uint64_t acc = 0;
+                for (int64_t t = 0; t < n; ++t) acc += z[t] >> p;
+                sp[p] = (int64_t)acc;
+            }
+        };
+        dprev[0] = 0;
+        z[0] = 0;
+        uint32_t zmax = 0;
+        for (int64_t t = 1; t < T; ++t) {
+            int32_t d = (int32_t)((uint32_t)xr[t] - (uint32_t)xr[t - 1]);
+            dprev[t] = d;
+            lo1 = d < lo1 ? d : lo1;
+            hi1 = d > hi1 ? d : hi1;
+            uint32_t zz = (uint32_t)((d << 1) ^ (d >> 31));
+            z[t] = zz;
+            zmax = zz > zmax ? zz : zmax;
+        }
+        accumulate(srow, zmax);
+        for (int k = 2; k <= NORD; ++k) {
+            zmax = 0;
+            for (int64_t t = 0; t < k && t < T; ++t) { dcur[t] = 0; z[t] = 0; }
+            for (int64_t t = k; t < T; ++t) {
+                int32_t d = (int32_t)((uint32_t)dprev[t]
+                                      - (uint32_t)dprev[t - 1]);
+                dcur[t] = d;
+                if (k == 2) {
+                    lo2 = d < lo2 ? d : lo2;
+                    hi2 = d > hi2 ? d : hi2;
+                }
+                uint32_t zz = (uint32_t)((d << 1) ^ (d >> 31));
+                z[t] = zz;
+                zmax = zz > zmax ? zz : zmax;
+            }
+            accumulate(srow + (k - 1) * NP, zmax);
+            std::swap(dprev, dcur);
+        }
+    }
+    mm[0] = lo1; mm[1] = hi1; mm[2] = lo2; mm[3] = hi2;
+}
+
 // pack at fixed (order, p): lo plane (rows x T*p/32 words) + unary
 // substream (rows x Wu words, zero-padded). Returns 0 if any row's
 // unary bits overflow Wu*32 (caller falls back), else 1.
@@ -1274,26 +1353,45 @@ static int32_t pack_rice_impl(
     // form cost ~2x (branches on t<order + mixed serial chains)
     std::vector<uint32_t> zv((size_t)T);
     uint32_t* z = zv.data();
+    // orders 3-4: in-place backward differencing scratch (the prefix it
+    // leaves below the order cutoff IS the warm-up vector the device's
+    // iterative cumsum reconstruction seeds with — buf[j] = (Δ^j x)[j])
+    std::vector<uint32_t> bufv(order > 2 ? (size_t)T : 0);
+    const int fw = order <= 2 ? 2 : 4;
     for (int64_t r = 0; r < rows; ++r) {
         const S* xr = x + r * T;
         uint32_t* lw = lo_words + r * Wl;
         uint32_t* uw = unary_words + r * Wu;
         for (int64_t i = 0; i < Wu; ++i) uw[i] = 0;
-        firsts[r * 2 + 0] = xr[0];
-        firsts[r * 2 + 1] = (T > 1) ? xr[1] : xr[0];
         // zigzag(delta^order) sweep (z[0..order-1] = 0 by convention)
         if (order == 1) {
+            firsts[r * 2 + 0] = xr[0];
+            firsts[r * 2 + 1] = (T > 1) ? xr[1] : xr[0];
             z[0] = 0;
             for (int64_t t = 1; t < T; ++t) {
                 int32_t d = (int32_t)((uint32_t)xr[t] - (uint32_t)xr[t - 1]);
                 z[t] = (uint32_t)((d << 1) ^ (d >> 31));
             }
-        } else {
+        } else if (order == 2) {
+            firsts[r * 2 + 0] = xr[0];
+            firsts[r * 2 + 1] = (T > 1) ? xr[1] : xr[0];
             z[0] = 0;
             if (T > 1) z[1] = 0;
             for (int64_t t = 2; t < T; ++t) {
                 int32_t d = (int32_t)((uint32_t)xr[t] - 2u * (uint32_t)xr[t - 1]
                                       + (uint32_t)xr[t - 2]);
+                z[t] = (uint32_t)((d << 1) ^ (d >> 31));
+            }
+        } else {
+            uint32_t* buf = bufv.data();
+            for (int64_t t = 0; t < T; ++t) buf[t] = (uint32_t)xr[t];
+            for (int32_t k = 1; k <= order; ++k)
+                for (int64_t t = T - 1; t >= k; --t) buf[t] -= buf[t - 1];
+            for (int j = 0; j < fw; ++j)
+                firsts[r * fw + j] = (j < T) ? (int32_t)buf[j] : 0;
+            for (int64_t t = 0; t < order && t < T; ++t) z[t] = 0;
+            for (int64_t t = order; t < T; ++t) {
+                int32_t d = (int32_t)buf[t];
                 z[t] = (uint32_t)((d << 1) ^ (d >> 31));
             }
         }
@@ -1361,6 +1459,23 @@ void flacenc_scan_wire16(
     const int16_t* x, int64_t rows, int64_t T, int64_t stride,
     int64_t* sums /* rows*2*26 (NP) */, int32_t* mm) {
     scan_wire_impl<int16_t>(x, rows, T, stride, sums, mm);
+}
+
+// 4-order variants (sums rows*4*26). Their presence in the shared
+// library is ALSO the ABI marker for order-3/4 support in
+// flacenc_pack_rice{,16} (4-lane warm-up firsts) — the Python wrapper
+// dispatches on it, so a stale cached .so degrades to orders 1-2
+// instead of writing past a 2-lane firsts buffer.
+void flacenc_scan_wire4(
+    const int32_t* x, int64_t rows, int64_t T, int64_t stride,
+    int64_t* sums /* rows*4*26 (NP) */, int32_t* mm) {
+    scan_wire4_impl<int32_t>(x, rows, T, stride, sums, mm);
+}
+
+void flacenc_scan_wire16_4(
+    const int16_t* x, int64_t rows, int64_t T, int64_t stride,
+    int64_t* sums /* rows*4*26 (NP) */, int32_t* mm) {
+    scan_wire4_impl<int16_t>(x, rows, T, stride, sums, mm);
 }
 
 int32_t flacenc_pack_rice(

@@ -2,11 +2,16 @@
 
 On link-starved hosts (e.g. tunneled devices at ~15-100 MB/s) the raw
 int16 PCM upload is the end-to-end ceiling. The host ships fixed-order
-delta residuals `d[t] = diff^order(x)[t]` (order 1 or 2; the first
-`order` samples travel separately as int32) in one of TWO formats, and
-the device reconstructs exactly with static-shape integer ops — output
-bytes NEVER depend on the wire (wrapping int32 semantics match numpy's
-diff bit for bit).
+delta residuals `d[t] = diff^order(x)[t]` (orders 1-4, FLAC's own
+fixed-predictor range; warm-up values travel separately as int32 —
+[x0, x1] for orders 1-2, the four difference warm-ups (Δ^j x)[j] for
+orders 3-4) in one of TWO formats, and the device reconstructs exactly
+with static-shape integer ops — output bytes NEVER depend on the wire
+(wrapping int32 semantics match numpy's diff bit for bit). Orders 3-4
+matter on oversampled hi-res material, where each extra differencing
+level cuts the tonal residual by another factor 2*sin(pi*f/fs):
+measured 12.8 -> 9.5 bits/sample on the 24/96 bench content (order 3),
+a 25% upload cut the order-1/2 wires cannot reach.
 
 ("w", order, width) — fixed-width: little-endian `width`-bit
 two's-complement fields, width in {8..12, 14, 16, 18, 20} (odd widths
@@ -195,7 +200,32 @@ def pack(chunk: np.ndarray, order: int, width: int) -> Tuple[np.ndarray, np.ndar
 # bits, i.e. a cumsum + scatter-add over the (static) bit array.
 
 _RICE_NP = 26   # candidate rice parameters 0..25 (24-bit deltas -> 27-bit z)
-_FIRSTS_BYTES = 8  # per-row int32 x2
+_RICE_ORDERS = 4  # delta orders 1..4 (FLAC's own fixed-predictor range)
+_FIRSTS_BYTES = 8  # per-row int32 x2 (orders 1-2; orders 3-4 ship 4)
+
+
+def firsts_width(order: int) -> int:
+    """Per-row firsts lane count: orders 1-2 ship [x0, x1] (the original
+    closed-form reconstruction contract); orders 3-4 ship the four
+    difference warm-ups [x0, (Δx)[1], (Δ²x)[2], (Δ³x)[3]] consumed by
+    the iterative cumsum reconstruction."""
+    return 2 if order <= 2 else 4
+
+
+def _warmups(x: np.ndarray, order: int) -> np.ndarray:
+    """(..., 4) int32 difference warm-ups for orders 3-4: entry j is
+    (Δ^j x)[j] — exactly the values the in-place backward differencing
+    leaves below the order cutoff, and exactly what `_reconstruct`'s
+    iterative cumsum needs to re-integrate level by level."""
+    d = x.astype(np.int32)
+    out = np.zeros(x.shape[:-1] + (4,), np.int32)
+    out[..., 0] = d[..., 0]
+    for j in range(1, 4):
+        nxt = np.zeros_like(d)
+        nxt[..., 1:] = d[..., 1:] - d[..., :-1]
+        d = nxt
+        out[..., j] = d[..., j] if d.shape[-1] > j else 0
+    return out
 
 
 def _wu_bucket(T: int) -> int:
@@ -211,12 +241,14 @@ def _zigzag(d: np.ndarray) -> np.ndarray:
     )
 
 
-def scan_rice_np(chunk: np.ndarray) -> np.ndarray:
-    """numpy oracle for `native.scan_rice`: (..., 2, 26) int64 partial
-    sums S[..., order-1, p] = sum_t(zigzag(delta_order)[t] >> p)."""
+def scan_rice_np(chunk: np.ndarray, orders: int = _RICE_ORDERS) -> np.ndarray:
+    """numpy oracle for the native rice scans: (..., orders, 26) int64
+    partial sums S[..., order-1, p] = sum_t(zigzag(delta_order)[t] >> p).
+    Default covers orders 1-4; `native.scan_rice`'s 2-order layout is the
+    [..., :2, :] prefix."""
     x = chunk.astype(np.int32)
-    out = np.zeros(x.shape[:-1] + (2, _RICE_NP), np.int64)
-    for order in (1, 2):
+    out = np.zeros(x.shape[:-1] + (orders, _RICE_NP), np.int64)
+    for order in range(1, orders + 1):
         z = _zigzag(_deltas(x, order)).astype(np.int64)
         for p in range(_RICE_NP):
             out[..., order - 1, p] = (z >> p).sum(axis=-1)
@@ -232,11 +264,15 @@ def rice_plan(sums: np.ndarray, T: int, wu_margin: float = 1.0):
     `wu_margin` > 1 pads the unary budget when `sums` came from a
     SAMPLED scan (sampling noise on the max row; pack_rice still
     overflow-checks the exact stream)."""
-    flat = sums.reshape(-1, 2, _RICE_NP)
+    n_orders = sums.shape[-2]
+    flat = sums.reshape(-1, n_orders, _RICE_NP)
     R = flat.shape[0]
     bucket = _wu_bucket(T)
     best = None
-    for order in (1, 2):
+    for order in range(1, n_orders + 1):
+        if order >= T:
+            continue  # warm-ups would cover the whole block
+        fb = firsts_width(order) * 4
         for p in range(_RICE_NP):
             if (T * p) % 32 != 0:
                 continue
@@ -246,20 +282,21 @@ def rice_plan(sums: np.ndarray, T: int, wu_margin: float = 1.0):
             # rank formats by their UNPADDED cost (the margin would skew
             # the choice toward large-p formats whose pad is smaller in
             # absolute terms); only the winner's shipped budget is padded
-            nbytes = R * ((T * p // 32) * 4 + wu * 4 + _FIRSTS_BYTES)
+            nbytes = R * ((T * p // 32) * 4 + wu * 4 + fb)
             if best is None or nbytes < best[3]:
                 best = (order, p, wu, nbytes)
     if best is not None and wu_margin > 1.0:
         order, p, wu, nbytes = best
         pad = int(-(-int(wu * wu_margin) // bucket)) * bucket
         best = (order, p, pad, R * ((T * p // 32) * 4 + pad * 4
-                                    + _FIRSTS_BYTES))
+                                    + firsts_width(order) * 4))
     return best
 
 
 def pack_rice(chunk: np.ndarray, order: int, p: int, wu: int):
     """numpy oracle for `native.pack_rice`: (..., T) ->
-    (lo (..., T*p/32) u32, unary (..., wu) u32, firsts (..., 2) i32);
+    (lo (..., T*p/32) u32, unary (..., wu) u32,
+    firsts (..., firsts_width(order)) i32);
     None if a row overflows the unary budget."""
     x = chunk.astype(np.int32)
     T = x.shape[-1]
@@ -294,9 +331,12 @@ def pack_rice(chunk: np.ndarray, order: int, p: int, wu: int):
         .view(np.uint32)
         .reshape(x.shape[:-1] + (wu,))
     )
-    firsts = np.zeros(x.shape[:-1] + (2,), np.int32)
-    firsts[..., 0] = x[..., 0]
-    firsts[..., 1] = x[..., 1] if T > 1 else x[..., 0]
+    if order <= 2:
+        firsts = np.zeros(x.shape[:-1] + (2,), np.int32)
+        firsts[..., 0] = x[..., 0]
+        firsts[..., 1] = x[..., 1] if T > 1 else x[..., 0]
+    else:
+        firsts = _warmups(x, order)
     return lo, unary, firsts
 
 
@@ -328,6 +368,17 @@ def plan_ms(sums_m: np.ndarray, sums_s: np.ndarray, T: int):
     return pm[:3], ps[:3], pm[3] + ps[3]
 
 
+def _pk_for(order: int):
+    """pack_rice implementation for this delta order: the C++ pass when
+    the library carries the needed ABI (orders 3-4 need the rice4
+    warm-up firsts layout), the numpy oracle otherwise."""
+    from .. import native
+
+    if native.available() and (order <= 2 or native.rice4_supported()):
+        return native.pack_rice
+    return pack_rice
+
+
 def pack_ms(chunk: np.ndarray, om: int, pm: int, wum: int,
             os2: int, ps: int, wus: int, planes=None):
     """The ("m", om, pm, wum, os2, ps, wus) wire: mid/side transform,
@@ -337,14 +388,11 @@ def pack_ms(chunk: np.ndarray, om: int, pm: int, wum: int,
     i32) — so payload arity (= transfer count per batch) does not grow.
     None if either plane overflows its unary budget. `planes` passes
     precomputed (m, s) to skip the transform."""
-    from .. import native
-
     m, s = ms_planes(chunk) if planes is None else planes
-    pk = native.pack_rice if native.available() else pack_rice
-    a = pk(m, om, pm, wum)
+    a = _pk_for(om)(m, om, pm, wum)
     if a is None:
         return None
-    b = pk(s, os2, ps, wus)
+    b = _pk_for(os2)(s, os2, ps, wus)
     if b is None:
         return None
     lo = np.concatenate([a[0], b[0]], axis=-1)
@@ -484,10 +532,7 @@ def try_pack(chunk: np.ndarray, bps: int = 16):
             return ("m", om, pm, wum, os2, ps, wus), packed
     if rice is not None and (width_bytes is None or rice[3] < width_bytes):
         r_order, p, wu, _ = rice
-        packed = (
-            native.pack_rice(chunk, r_order, p, wu)
-            if use_native else pack_rice(chunk, r_order, p, wu)
-        )
+        packed = _pk_for(r_order)(chunk, r_order, p, wu)
         if packed is not None:
             return ("r", r_order, p, wu), packed
     if fmt is None:
@@ -523,13 +568,25 @@ def _reconstruct(d: jnp.ndarray, firsts: jnp.ndarray, T: int,
     """Shared delta reconstruction: int32 cumsum(s); the order-2 closed
     form x[t] = x0 + t*(x1-x0) + cumsum(cumsum(d))[t] is exact in
     wrapping int32 arithmetic (the true x fits int32, so mod-2^32
-    equality is equality)."""
+    equality is equality). Orders 3-4 integrate level by level: the
+    wire's firsts carry the difference warm-ups (Δ^j x)[j], each cumsum
+    pass seeds slot j-1 with its warm-up and turns the Δ^j stream into
+    the Δ^(j-1) stream — every step a wrapping int32 add, so exactness
+    holds with no division (the binomial closed form would need /2, /6
+    whose intermediates overflow int32)."""
     x0 = firsts[..., 0].astype(jnp.int32)[..., None]
     if order == 1:
         return x0 + jnp.cumsum(d, axis=-1)
-    x1 = firsts[..., 1].astype(jnp.int32)[..., None]
-    t = jnp.arange(T, dtype=jnp.int32)
-    return x0 + t * (x1 - x0) + jnp.cumsum(jnp.cumsum(d, axis=-1), axis=-1)
+    if order == 2:
+        x1 = firsts[..., 1].astype(jnp.int32)[..., None]
+        t = jnp.arange(T, dtype=jnp.int32)
+        return (x0 + t * (x1 - x0)
+                + jnp.cumsum(jnp.cumsum(d, axis=-1), axis=-1))
+    y = d.astype(jnp.int32)
+    for j in range(order, 0, -1):
+        y = y.at[..., j - 1].set(firsts[..., j - 1].astype(jnp.int32))
+        y = jnp.cumsum(y, axis=-1)
+    return y
 
 
 def unpack(words: jnp.ndarray, firsts: jnp.ndarray, T: int,
@@ -583,9 +640,10 @@ def unpack_ms(lo: jnp.ndarray, unary: jnp.ndarray, firsts: jnp.ndarray,
     forward (l+r)>>1 dropped is recoverable — component/decode.py uses
     the same identity). Returns (B, 2, T) int32."""
     Lm = T * pm // 32
-    m = unpack_rice(lo[..., :Lm], unary[..., :wum], firsts[..., 0:2],
+    Fm = firsts_width(om)
+    m = unpack_rice(lo[..., :Lm], unary[..., :wum], firsts[..., :Fm],
                     T, om, pm)
-    s = unpack_rice(lo[..., Lm:], unary[..., wum:], firsts[..., 2:4],
+    s = unpack_rice(lo[..., Lm:], unary[..., wum:], firsts[..., Fm:],
                     T, os2, ps)
     l = m + ((s + (s & jnp.int32(1))) >> 1)
     return jnp.stack([l, l - s], axis=1)

@@ -300,6 +300,13 @@ def one_upload_case(seed: int, block_size: int = 512) -> None:
     # per-channel noise): the mid/side wire only wins there, so without
     # these the "m" kind would never be covered
     correlated = channels == 2 and rng.integers(0, 3) == 0
+    # ~1/5 of the rest walk with UNIFORM deltas (x = cumsum of uniform
+    # noise): every rice parameter costs >= width+1.5 bits/sample on
+    # incompressible deltas, so the fixed-width "w" wire wins the byte
+    # race — without this class the rice orders 3/4 sweep "w" out of
+    # the 25-iteration coverage gate
+    walk = not correlated and not tonal and rng.integers(0, 5) == 0
+    walk_width = int(rng.integers(7, 11))
     interleaved = np.zeros(signal_len * channels, dtype=np.int32)
     base = None
     for ch in range(channels):
@@ -308,9 +315,18 @@ def one_upload_case(seed: int, block_size: int = 512) -> None:
             x = base + rng.integers(-spread, spread, signal_len)
             lim = 1 << (bps - 1)
             x = np.clip(x, -lim, lim - 1).astype(np.int64)
+        elif walk:
+            lim = 1 << (bps - 1)
+            d = rng.integers(-(1 << (walk_width - 1)),
+                             1 << (walk_width - 1), signal_len)
+            x = np.cumsum(d)
+            # reflect at the rails so deltas stay uniform walk_width-bit
+            x = np.abs((x + lim) % (4 * lim) - 2 * lim) - lim
+            x = np.clip(x, -lim, lim - 1)
+            shift = 0
         elif tonal:
-            # noise-free smooth tone: second-order deltas are ~omega x
-            # smaller than first-order, steering the scan to order 2
+            # noise-free smooth tone: higher-order deltas shrink by
+            # ~omega per level, steering the scan to orders 2-4
             x = sigen.Sine(
                 int(rng.integers(150, 1200)), float(rng.uniform(0.5, 0.95)),
                 float(rng.uniform(0, 6.28)),
@@ -484,7 +500,12 @@ def main() -> int:
             assert kinds == {"r", "w", "d", "m"}, \
                 f"wire kinds covered: {kinds}"
             orders = {f[1] for f in seen if f}
-            assert orders == {1, 2}, f"delta orders covered: {orders}"
+            # noise-free tones now land on orders 3/4 (each extra
+            # differencing level is another factor omega smaller), the
+            # noisy tiers on 1/2 — a full sweep must see both regimes
+            assert {1, 2} <= orders and orders - {1, 2, 3, 4} == set(), \
+                f"delta orders covered: {orders}"
+            assert orders & {3, 4}, f"high orders never won: {orders}"
             rice_ps = {f[2] for f in seen if f and f[0] == "r"}
             assert len(rice_ps) >= 3, f"rice params covered: {rice_ps}"
     print(f"{args.iters} cases passed")
