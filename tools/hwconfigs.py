@@ -87,6 +87,7 @@ def timed_encode(cfg, audio, ch, bps, rate, block, batch, trials=2):
         if best is None or dt < best:
             best, stats = dt, trial_stats
     n_samples = len(audio) // ch
+    wires = stats.get("wire_batches") or {}
     return {
         "x_realtime": round((n_samples / rate) / best, 1),
         "bits_per_sample": round(len(data) * 8 / len(audio), 4),
@@ -94,6 +95,10 @@ def timed_encode(cfg, audio, ch, bps, rate, block, batch, trials=2):
         "host_pack_s": round(stats.get("pack_s", 0.0), 3),
         "wall_s": round(best, 3),
         "audio_s": round(n_samples / rate, 1),
+        # dominant upload wire of the best trial (the racer's verdict) —
+        # attribution for upload-bound rows (VERDICT r4 #5)
+        "wire": (max(wires, key=wires.get) if wires else "?"),
+        "link_mbps": stats.get("link_mbps"),
     }
 
 
@@ -121,15 +126,18 @@ def main() -> int:
                     f"{args.seconds:.0f}s of audio per config "
                     f"(best-of-2 trials), batch 256, block 4096.\n\n")
             f.write("| config | x realtime | bits/sample | device_wait_s | "
-                    "host_pack_s | wall_s | audio_s |\n|---|---|---|---|---|---|---|\n")
+                    "host_pack_s | wall_s | audio_s | wire | link MB/s |\n"
+                    "|---|---|---|---|---|---|---|---|---|\n")
             for name, r in rows.items():
                 if "error" in r:
-                    f.write(f"| {name} | FAILED | | | | | |  <!-- {r['error']} -->\n")
+                    f.write(f"| {name} | FAILED | | | | | | | |"
+                            f"  <!-- {r['error']} -->\n")
                     continue
                 f.write(
                     f"| {name} | {r['x_realtime']} | {r['bits_per_sample']} "
                     f"| {r.get('device_wait_s', '')} | {r.get('host_pack_s', '')} "
-                    f"| {r['wall_s']} | {r['audio_s']} |\n"
+                    f"| {r['wall_s']} | {r['audio_s']} "
+                    f"| `{r.get('wire', '')}` | {r.get('link_mbps', '')} |\n"
                 )
             f.write(
                 "\nReference context (different hardware, real-music corpus — "
@@ -243,6 +251,7 @@ def main() -> int:
         streams, stats = encode_corpus(sources2, cfg, 4096, batch_size=256)
         dt = time.perf_counter() - t0
         total_bytes = sum(len(s.to_bytes()) for s in streams.values())
+        wires = {repr(k): v for k, v in (stats.wire_batches or {}).items()}
         return {
             "x_realtime": round((total_samples / 44100) / dt, 1),
             "bits_per_sample": round(total_bytes * 8 / (2 * total_samples), 4),
@@ -251,6 +260,9 @@ def main() -> int:
             "host_pack_s": round(stats.pack_s, 3),
             "wall_s": round(dt, 3),
             "audio_s": round(total_samples / 44100, 1),
+            "wire": (max(wires, key=wires.get) if wires else "?"),
+            "link_mbps": (round(stats.link_mbps, 1)
+                          if stats.link_mbps else None),
         }
 
     run("corpus (16 files, stereo 16/44.1)", corpus)

@@ -28,6 +28,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
@@ -100,15 +101,22 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--gap", type=float, default=20.0)
+    ap.add_argument("--rate", type=int, default=44100)
+    ap.add_argument("--bps", type=int, default=16)
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
     os.environ["FLACENC_TIMELINE"] = "1"
     os.environ.setdefault("FLACENC_FETCH_GROUP", "4")
 
-    from bench import _probe_device, make_audio
+    from bench import _probe_device
+    from hwconfigs import stereo_audio
 
-    if not _probe_device(75.0):
+    def make_audio(seconds, rate):
+        return stereo_audio(seconds, rate, args.bps)
+
+    probe_s = float(os.environ.get("FLACENC_CLI_PROBE_TIMEOUT_S", "120"))
+    if not _probe_device(probe_s):
         print(json.dumps({"error": "device probe timed out"}), flush=True)
         return 7
     from flacenc_tpu import config
@@ -116,7 +124,7 @@ def main() -> int:
     from flacenc_tpu.source import MemSource
 
     cfg = config.Encoder().into_verified()
-    rate, bps, block = 44100, 16, 4096
+    rate, bps, block = args.rate, args.bps, 4096
     warm = make_audio(args.warm_seconds, rate)
     be.encode_with_fixed_block_size(
         cfg, MemSource(warm, 2, bps, rate), block, batch_size=args.batch,
@@ -140,6 +148,7 @@ def main() -> int:
         )
         wall = time.perf_counter() - t0
         sub = analyze(stats.get("timeline", []), wall)
+        wires = stats.get("wire_batches") or {}
         sub.update(
             wall_s=round(wall, 3),
             x_realtime=round((n_samples / rate) / wall, 1),
@@ -147,6 +156,7 @@ def main() -> int:
             grouped_batches=stats.get("grouped_batches"),
             device_wait_s=round(stats.get("device_wait_s", 0.0), 3),
             pack_s=round(stats.get("pack_s", 0.0), 3),
+            wire=(max(wires, key=wires.get) if wires else None),
         )
         results.append(sub)
         print(json.dumps({"trial": i, **sub}), flush=True)
