@@ -17,6 +17,7 @@ Stereo candidates are indexed L=0, R=1, M=2, S=3; assignment codes are
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -1716,6 +1717,24 @@ class BatchPipeline:
         enc = self._fn_for(wire)(*map(self._put, payload + ext))
         return self._fetch_assemble(enc, chunk, nums, rate)
 
+    def _updf_plain(self, chunk, payload, wire, nums, rate, seq):
+        """io thread: per-batch upload + dispatch + fetch + assembly.
+
+        The submit() docstring's async-issue assumption — `device_put`
+        returns before the transfer completes — is FALSE on the tunneled
+        transport: the r5 stage-overlap measurement (tools/overlap.py,
+        fast-link window at ~300 MB/s) put 79 ms/batch of main-thread
+        submit wall on it, consistent with ~2 blocking RPC round trips
+        per batch (deltas + firsts), which made the HOST the end-to-end
+        ceiling at 201x while the link idled. Moving the upload here
+        hides those RPCs behind the read+pack of the next batch exactly
+        as the fetch already hides the download. Dispatch order across
+        pool threads is irrelevant for bytes: frames reassemble by
+        `nums`, and batches share no device state."""
+        enc = self._fn_for(wire)(*map(self._put, payload))
+        self._mark("issued", seq)
+        return self._fetch_assemble(enc, chunk, nums, rate, seq)
+
     def submit(self, blocks_list, nums: np.ndarray,
                rate: Optional[int] = None, cookie=None):
         """Queues one batch; returns a drained BatchResult once the
@@ -1859,11 +1878,15 @@ class BatchPipeline:
                 if len(self._group_open) >= self._group_target(wire,
                                                                payload):
                     self._flush_group()
-            else:
+            elif os.environ.get("FLACENC_INLINE_DISPATCH"):
+                # measurement kill-switch: the pre-r5 inline issue path
                 enc = self._fn_for(wire)(*map(self._put, payload))
                 self._mark("issued", seq)
                 fut = self._pool.submit(self._fetch_assemble, enc, chunk,
                                         nums, rate, seq)
+            else:
+                fut = self._pool.submit(self._updf_plain, chunk, payload,
+                                        wire, nums, rate, seq)
         self._in_flight.append(
             (fut, nums, len(blocks_list), cookie, upload_bytes,
              self._wire_kind)
