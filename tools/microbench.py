@@ -23,13 +23,67 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def pallas_sweep(reps: int) -> int:
+    """Batch x block sweep: Pallas fused rice-cost kernel vs the XLA
+    31-pass reduction (`ops/rice._finest_tables`). Chained-dispatch
+    timing like `bench` below. Decides the default for
+    FLACENC_PALLAS_RICE (rice.rs:30-153 SIMD analogue)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flacenc_tpu.ops import rice as oR
+    from flacenc_tpu.ops import pallas_rice
+
+    rng = np.random.default_rng(0)
+    print(f"# pallas vs xla rice cost tables ({jax.default_backend()}, "
+          f"chained x{reps}); ms/batch")
+    print(f"{'B':>5s} {'T':>6s} {'finest':>6s} {'xla':>9s} {'pallas':>9s} "
+          f"{'winner':>7s}")
+    for T in (1024, 4096, 16384):
+        finest = oR.finest_partition_order(
+            T, oR.constants.rice.MIN_PARTITION_SIZE)
+        for B in (32, 128, 512):
+            err = jnp.asarray(
+                rng.integers(-(1 << 14), 1 << 14, (B, 4, T), np.int32))
+            warm = jnp.full((B, 4), 10, jnp.int32)
+
+            def xla_fn(e, w):
+                z = oR.encode_signbit(e)
+                return oR._finest_tables(z, w, finest, T).sum()
+
+            def pl_fn(e, w):
+                return pallas_rice.rice_cost_tables_pallas(
+                    e, w, T, finest).sum()
+
+            row = [f"{B:5d} {T:6d} {finest:6d}"]
+            times = {}
+            for name, fn in (("xla", xla_fn), ("pallas", pl_fn)):
+                f = jax.jit(fn)
+                jax.device_get(f(err, warm))
+                ts = {}
+                for n in (5, 5 + reps):
+                    t0 = time.perf_counter()
+                    outs = [f(err, warm) for _ in range(n)]
+                    jax.device_get(outs[-1])
+                    ts[n] = time.perf_counter() - t0
+                times[name] = max((ts[5 + reps] - ts[5]) / reps, 1e-9)
+                row.append(f"{times[name]*1e3:9.3f}")
+            row.append(f"{'xla' if times['xla'] <= times['pallas'] else 'PALLAS':>7s}")
+            print(" ".join(row))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--block", type=int, default=4096)
     ap.add_argument("--reps", type=int, default=40)
+    ap.add_argument("--pallas-sweep", action="store_true",
+                    help="run the Pallas-vs-XLA rice table sweep and exit")
     args = ap.parse_args()
     B, T, reps = args.batch, args.block, args.reps
+    if args.pallas_sweep:
+        return pallas_sweep(min(reps, 20))
 
     import jax
     import jax.numpy as jnp
