@@ -1330,13 +1330,14 @@ class BatchPipeline:
         self._rice_plan: Optional[tuple] = None
         self._rice_plan_age = 0
         self.depth = constants.par.FRAMEBUF_MULTIPLICITY
-        # one io thread per outstanding fetch (minus the slots still
-        # uploading/executing): each decisions fetch is a full transport
-        # round trip, so concurrent fetches divide the ~70 ms latency —
-        # the steady-state gap is round_trip/workers until bandwidth or
-        # host CPU binds (measured: 2 workers ~48 ms/batch, 6 ~21 ms)
+        # one io thread per in-flight batch: since r5 a worker carries a
+        # batch's FULL device lifetime (upload RPCs + dispatch + fetch,
+        # ~0.2 s of mostly GIL-released network wait on the tunnel), so
+        # fewer workers than `depth` would cap concurrency below the
+        # pipeline bound at line ~1895 (measured fetch-only: 2 workers
+        # ~48 ms/batch, 6 ~21 ms; upload adds ~79 ms/batch of wait)
         self._pool = concurrent.futures.ThreadPoolExecutor(
-            max_workers=max(2, self.depth - 2)
+            max_workers=max(2, self.depth)
         )
         # background wire-variant compilation (auto mode): a fresh wire's
         # first jit costs ~tens of seconds on remote-compile backends —
