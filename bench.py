@@ -115,27 +115,12 @@ def _watchdog(minutes: float) -> None:
 
 
 def _probe_device(timeout_s: float = 75.0) -> bool:
-    """Fast liveness check of the default jax backend. Runs the first op
-    on a side thread so a wedged tunnel (blocks in C++, uninterruptible)
-    can be detected by timeout instead of hanging the worker."""
-    import threading
+    """Fast liveness check of the default jax backend (the package's
+    shared daemon-thread probe; the CLI uses the same implementation)."""
+    from flacenc_tpu.utils.probe import probe_device
 
-    ok = []
-
-    def run():
-        try:
-            import jax
-            import jax.numpy as jnp
-
-            x = np.asarray(jnp.arange(64) + 1)
-            ok.append(bool(x[3] == 4))
-        except Exception as e:  # noqa: BLE001 - report any backend failure
-            print(f"# probe error: {e!r}", file=sys.stderr, flush=True)
-
-    t = threading.Thread(target=run, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return bool(ok)
+    return probe_device(timeout_s, on_error=lambda m: print(
+        f"# {m}", file=sys.stderr, flush=True))
 
 
 def _supervise() -> int:
@@ -323,12 +308,9 @@ def _timed_trials(audio, rate, bps, block, batch, packer, trials,
 
 
 def _median(xs):
-    s = sorted(xs)
-    n = len(s)
-    if not n:
-        return None
-    mid = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
-    return round(mid, 1)
+    import statistics
+
+    return round(statistics.median(xs), 1) if xs else None
 
 
 def _stage_extras(stats, n_samples, rate):

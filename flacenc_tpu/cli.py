@@ -116,38 +116,20 @@ def _default_platform_is_cpu() -> bool:
     import os
     import sys as _sys
 
+    def primary_is_cpu(platforms: str) -> bool:
+        # the FIRST entry is the platform jax dispatches to; a
+        # multi-platform setting like "tpu,cpu" still compiles onto the
+        # (possibly wedged) tpu, so it must NOT skip the probe
+        return platforms.split(",")[0].strip() == "cpu"
+
     if "jax" in _sys.modules:
         try:
             live = _sys.modules["jax"].config.jax_platforms
             if live:
-                return "cpu" in str(live)
+                return primary_is_cpu(str(live))
         except Exception:
             pass
-    return "cpu" in os.environ.get("JAX_PLATFORMS", "")
-
-
-def _probe_device(timeout_s: float) -> bool:
-    """Bounded liveness check of the default jax backend (bench.py's
-    probe, VERDICT r4 #4): the first op runs on a daemon thread so a
-    wedged tunnel — which blocks inside the runtime where no Python
-    exception can fire — is detected by timeout instead of hanging the
-    encode indefinitely."""
-    import threading
-
-    ok = []
-
-    def run():
-        try:
-            import jax.numpy as jnp
-
-            ok.append(bool(np.asarray(jnp.arange(8) + 1)[3] == 4))
-        except Exception as e:  # noqa: BLE001 - any backend failure
-            display.error(f"device probe error: {e!r}")
-
-    t = threading.Thread(target=run, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return bool(ok)
+    return primary_is_cpu(os.environ.get("JAX_PLATFORMS", ""))
 
 
 def _ensure_live_backend(args) -> None:
@@ -174,7 +156,9 @@ def _ensure_live_backend(args) -> None:
     if _default_platform_is_cpu() or os.environ.get("FLACENC_CLI_NO_PROBE"):
         return
     timeout_s = float(os.environ.get("FLACENC_CLI_PROBE_TIMEOUT_S", "75"))
-    if _probe_device(timeout_s):
+    from .utils.probe import probe_device
+
+    if probe_device(timeout_s, on_error=display.error):
         return
     display.error(
         f"device backend unresponsive after {timeout_s:.0f} s; "

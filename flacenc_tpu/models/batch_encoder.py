@@ -1669,14 +1669,14 @@ class BatchPipeline:
         import time as _time
 
         g = self.fetch_group or _FETCH_GROUP_AUTO
-        self._mark("gtrip_start", len(entries))
+        self._mark("gtrip_start", id(entries), len(entries))
         if len(entries) == g:
             stacked = [
                 np.stack([e[0][i] for e in entries])
                 for i in range(len(entries[0][0]))
             ]
             enc_g = self._group_fn(entries[0][1])(*map(self._put, stacked))
-            self._mark("gissued", len(entries))
+            self._mark("gissued", id(entries), len(entries))
             t_f = _time.perf_counter()
             rows_all = np.asarray(jax.device_get(enc_g))  # (G, B, F)
             # feed the per-batch share of the grouped fetch back into the
@@ -1688,7 +1688,7 @@ class BatchPipeline:
             dt = (_time.perf_counter() - t_f) / len(entries)
             prev = self._fetch_ewma
             self._fetch_ewma = dt if prev is None else 0.7 * prev + 0.3 * dt
-            self._mark("gfetch_done", len(entries))
+            self._mark("gfetch_done", id(entries), len(entries))
             parts = list(rows_all)
         else:
             encs = [
@@ -1704,7 +1704,7 @@ class BatchPipeline:
                 rate if rate is not None else 0, self.block_size,
             )
             out.append((frames, _time.perf_counter() - t0))
-        self._mark("gasm_done", len(entries))
+        self._mark("gasm_done", id(entries), len(entries))
         return out
 
     def _upload_dispatch_fetch(self, chunk, payload, wire, nums, rate):
@@ -2075,8 +2075,13 @@ def encode_with_fixed_block_size(
             # time on padding rows (a 3 s clip = 32 blocks padded to 64
             # doubles the compute). Clamp to the next power of two so
             # padding stays < 2x while jit keys stay few (a power-of-2
-            # ladder, not one program per odd file length).
-            batch_size = max(8, 1 << (int(full_blocks) - 1).bit_length())
+            # ladder, not one program per odd file length). Never RAISE
+            # the caller's explicit batch_size: a small/odd request
+            # (e.g. one sized to divide a device mesh) must survive.
+            batch_size = min(
+                batch_size,
+                max(8, 1 << (int(full_blocks) - 1).bit_length()),
+            )
     pipe = BatchPipeline(
         cfg, nch, bps, block_size, batch_size, packer, strict_lpc, mesh,
         upload_pack,

@@ -4,9 +4,12 @@ Runs one warmed, timed encode with FLACENC_TIMELINE=1 and reconstructs
 from the event stamps where the wall time actually went:
 
 - main-thread classification: read (read_start->read_done), submit CPU
-  (submit->issued/parked, wire scan+pack+upload issue), drain-blocked
-  (drain_start->drain_done, waiting on an io future), and the residual
-  ("other": frame bookkeeping, finalization, loop glue);
+  (submit->packed: wire scan + pack — since r5 the upload RPCs run on
+  the io workers, so the main-thread span must close at the `packed`
+  mark, NOT at `issued` which is now stamped on the io thread after the
+  device_put round trips), drain-blocked (drain_start->drain_done,
+  waiting on an io future), and the residual ("other": frame
+  bookkeeping, enqueue, finalization, loop glue);
 - io-thread spans: per-batch fetch walls, per-group roundtrip walls,
   assembly walls;
 - the headline number: `unhidden_host_s` = wall - drain_blocked - the
@@ -46,7 +49,11 @@ def analyze(timeline, wall_s):
             spans["read"].append((open_t.pop("read"), t))
         elif name == "submit":
             open_t[("submit", idx)] = t
-        elif name in ("issued", "parked") and ("submit", idx) in open_t:
+        elif name == "packed" and ("submit", idx) in open_t:
+            # close at the main-thread `packed` mark: `issued` moved to
+            # the io thread in r5 (it now trails the upload RPCs), so
+            # closing there would misattribute hidden link wait — from
+            # overlapping in-flight batches — to main-thread submit CPU
             spans["submit"].append((open_t.pop(("submit", idx)), t))
         elif name == "drain_start":
             open_t["drain"] = t
@@ -82,9 +89,12 @@ def analyze(timeline, wall_s):
         elif name == "fetch_done" and idx in fetch:
             io["fetch_walls"].append(t - fetch.pop(idx))
         elif name == "gtrip_start":
-            fetch["g"] = t
-        elif name == "gasm_done" and "g" in fetch:
-            io["gtrip_walls"].append(t - fetch.pop("g"))
+            # idx is a per-group unique id: concurrent group roundtrips
+            # (depth > G allows several in flight) must not clobber
+            # each other's start stamps under one shared key
+            fetch[("g", idx)] = t
+        elif name == "gasm_done" and ("g", idx) in fetch:
+            io["gtrip_walls"].append(t - fetch.pop(("g", idx)))
     sub["fetch_wall_mean_s"] = round(
         float(np.mean(io["fetch_walls"])), 4) if io["fetch_walls"] else None
     sub["gtrip_wall_mean_s"] = round(
@@ -167,7 +177,8 @@ def main() -> int:
         lines = [
             "# Pipeline stage overlap (tools/overlap.py)",
             "",
-            f"Audio: {args.seconds:.0f} s 16/44.1 stereo, batch "
+            f"Audio: {args.seconds:.0f} s {args.bps}/"
+            f"{args.rate / 1000:g} stereo, batch "
             f"{args.batch}, fetch group "
             f"{os.environ.get('FLACENC_FETCH_GROUP')}. The wall is "
             "partitioned into main-thread classes; io-thread walls "
