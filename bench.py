@@ -280,9 +280,10 @@ def _timed_trials(audio, rate, bps, block, batch, packer, trials,
             # for the wire the racer settled on) finish during the gap,
             # so the next trial groups from its first batches
             try:
+                be.wait_wire_warms(timeout=120)
                 be.wait_group_warms(timeout=120)
             except Exception:
-                pass  # a failed grouped warm must not kill the bench
+                pass  # a failed warm must not kill the bench
         src = MemSource(audio, 2, bps, rate)
         trial_stats = {}
         t0 = time.perf_counter()
@@ -386,10 +387,11 @@ def main_worker() -> None:
     # block on the grouped-program background compiles the warm encode
     # started; otherwise short trials race the compile and never group
     try:
+        be.wait_wire_warms(timeout=300)  # packed-wire variant programs
         be.wait_group_warms(timeout=300)
     except Exception:
-        pass  # a failed grouped warm must not kill the bench (trials
-        #       fall back to per-batch roundtrips; still a valid number)
+        pass  # a failed warm must not kill the bench (trials fall back
+        #       to raw / per-batch roundtrips; still a valid number)
 
     audio = make_audio(seconds, rate)
     extra_base = {"seconds_encoded": seconds, "batch": batch,

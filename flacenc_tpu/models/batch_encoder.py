@@ -901,6 +901,24 @@ def wait_group_warms(timeout: Optional[float] = None) -> None:
         fut.result(timeout=timeout)
 
 
+# outstanding background per-wire compile futures (same contract as
+# _GROUP_WARM_FUTURES, for the wire-variant programs `_start_warm`
+# kicks): measurement harnesses block on these after a warm-up encode so
+# a short timed run's racer can actually probe the packed wires instead
+# of finding them compile-pending for most of its batches
+_WIRE_WARM_FUTURES: list = []
+
+
+def wait_wire_warms(timeout: Optional[float] = None) -> None:
+    """Block until every outstanding wire-variant background compile has
+    finished (no-op when none are pending). Companion to
+    `wait_group_warms`; see _WIRE_WARM_FUTURES."""
+    global _WIRE_WARM_FUTURES
+    pending, _WIRE_WARM_FUTURES = _WIRE_WARM_FUTURES, []
+    for fut in pending:
+        fut.result(timeout=timeout)
+
+
 class LinkEstimator:
     """Per-wire-format batch-time racer.
 
@@ -1462,6 +1480,12 @@ class BatchPipeline:
             _WARMED_WIRES.add(key)
 
         self._warming[wire] = self._compile_pool.submit(warm)
+        # registry for wait_wire_warms; prune settled futures on append
+        # so long-lived processes don't accumulate them unboundedly
+        _WIRE_WARM_FUTURES[:] = [
+            f for f in _WIRE_WARM_FUTURES if not f.done()
+        ]
+        _WIRE_WARM_FUTURES.append(self._warming[wire])
 
     def _prewarm(self, chunk) -> None:
         """Start background compiles of the delta16 wire (bps <= 16) and

@@ -67,15 +67,35 @@ def mono_audio(seconds: float, rate: int = 44100) -> np.ndarray:
     )
 
 
-def timed_encode(cfg, audio, ch, bps, rate, block, batch, trials=2):
+def timed_encode(cfg, audio, ch, bps, rate, block, batch, trials=3):
     from flacenc_tpu.models import batch_encoder as be
     from flacenc_tpu.source import MemSource
+
+    # the warm-up encode only STARTS the packed-wire background compiles
+    # (tens of seconds on remote-compile backends): block on them, then
+    # run one untimed SETTLE encode so the racer probes and measures the
+    # now-warm wires — otherwise a 120 s-audio row (~26 batches) ends
+    # before the racer can flip off raw and the matrix mis-attributes
+    # the wire choice (r5: the hi-res row shipped raw int32 this way)
+    for wait in (be.wait_wire_warms, be.wait_group_warms):
+        try:
+            wait(timeout=180)
+        except Exception:
+            pass  # a failed warm must not kill the matrix row
+    be.encode_with_fixed_block_size(
+        cfg, MemSource(audio, ch, bps, rate), block, batch_size=batch
+    )
+    try:
+        be.wait_wire_warms(timeout=180)
+        be.wait_group_warms(timeout=180)
+    except Exception:
+        pass
 
     best, data = None, b""
     stats = {}
     for i in range(trials):
         if i:
-            time.sleep(5)
+            time.sleep(10)
         src = MemSource(audio, ch, bps, rate)
         trial_stats = {}
         t0 = time.perf_counter()

@@ -140,6 +140,7 @@ def main() -> int:
         cfg, MemSource(warm, 2, bps, rate), block, batch_size=args.batch,
     )
     try:
+        be.wait_wire_warms(timeout=300)
         be.wait_group_warms(timeout=300)
     except Exception:
         pass
