@@ -998,6 +998,59 @@ def test_grouped_fetch_byte_identical(monkeypatch):
     assert forced == base
 
 
+def test_auto_group_ewma_deescalates(monkeypatch):
+    """Auto-mode grouping must NOT be a one-way ratchet (advisor r4,
+    medium): `_roundtrip_group` feeds the per-batch share of the grouped
+    fetch wall back into `_fetch_ewma`, so a link that recovers drives
+    the EWMA back under `_GROUP_FETCH_MIN_S` and `_group_target` falls
+    back to per-batch roundtrips. Seeds a pathologically slow EWMA,
+    runs one full grouped trip, and asserts (a) the grouped path updated
+    the EWMA (the regression: it used to update only on the per-batch
+    path) and (b) a recovered EWMA actually de-escalates."""
+    monkeypatch.delenv("FLACENC_FETCH_GROUP", raising=False)
+    rng = np.random.default_rng(13)
+    blocks = [
+        np.cumsum(rng.integers(-120, 121, (2, 512)), -1).astype(np.int32)
+        for _ in range(9)
+    ]
+    cfg = config.Encoder()
+    p = be.BatchPipeline(cfg, 2, 16, 512, 1, upload_pack=False)
+    assert p.fetch_group == 0  # auto mode
+    p._fetch_ewma = 10.0  # pretend the link was measured very slow
+    frames = []
+    try:
+        # batch 0: per-batch warm-up; kicks the grouped background compile
+        r = p.submit([blocks[0]], np.asarray([0]), rate=44100)
+        if r:
+            frames.extend(r.frames)
+        assert p._group_warm is not None
+        p._group_warm.result(timeout=120)
+        # batches 1..4: one FULL group (G=4) -> one grouped roundtrip
+        for i in range(1, 5):
+            r = p.submit([blocks[i]], np.asarray([i]), rate=44100)
+            if r:
+                frames.extend(r.frames)
+        for r in p.drain_all():
+            frames.extend(r.frames)
+        assert p.grouped_batches == 4
+        # (a) the grouped trip updated the EWMA: 0.7*10 + 0.3*dt with any
+        # sane dt (<< 10 s for five 512-sample blocks) lands well under 8
+        assert p._fetch_ewma is not None and p._fetch_ewma < 8.0
+        # (b) recovered link (EWMA under the engage threshold):
+        # subsequent batches must take the per-batch path again
+        p._fetch_ewma = be._GROUP_FETCH_MIN_S / 2
+        for i in range(5, 9):
+            r = p.submit([blocks[i]], np.asarray([i]), rate=44100)
+            if r:
+                frames.extend(r.frames)
+        for r in p.drain_all():
+            frames.extend(r.frames)
+        assert p.grouped_batches == 4  # unchanged: de-escalated
+    finally:
+        p.close()
+    assert len(frames) == len(blocks)
+
+
 def _correlated_stereo_blocks(B, T, bps=16, seed=7, spread=40):
     """(B, 2, T) int32 blocks whose channels share a base tone: the side
     channel is small, so the mid/side wire should win the byte race."""
