@@ -329,3 +329,70 @@ def test_wav_bulk_read_frame_count_in_blocks(tmp_path):
     src.read_blocks_batch(8, 1024, ctx)
     assert ctx.frame_count == 3
     assert ctx.current_frame_number() == 2
+
+
+def test_probe_failure_reexecs_cpu_only(monkeypatch):
+    """A wedged non-cpu backend must make the CLI RE-EXEC itself onto
+    the CPU backend (cli._ensure_live_backend, r5): probe times out ->
+    execve with --cpu-only appended, JAX_PLATFORMS=cpu, and the
+    platform-hijacking axon sitecustomize stripped from PYTHONPATH.
+    The re-exec'd argv keeps the original flags so the command is
+    replayed, and --cpu-only guarantees the child cannot loop."""
+    import flacenc_tpu.cli as cli
+
+    calls = {}
+
+    def fake_execve(exe, argv, env):
+        calls["argv"] = argv
+        calls["env"] = env
+        raise SystemExit(0)  # execve never returns; emulate the cutover
+
+    monkeypatch.setattr(cli, "_default_platform_is_cpu", lambda: False)
+    monkeypatch.setattr(
+        "flacenc_tpu.utils.probe.probe_device",
+        lambda timeout_s, on_error=None: False,
+    )
+    monkeypatch.setattr("os.execve", fake_execve)
+    monkeypatch.delenv("FLACENC_CLI_NO_PROBE", raising=False)
+    monkeypatch.setenv("FLACENC_CLI_PROBE_TIMEOUT_S", "1")
+    monkeypatch.setenv(
+        "PYTHONPATH", "/root/.axon_site:/some/other/path"
+    )
+
+    class Args:
+        cpu_only = False
+        _argv = ["encode", "in.wav", "-o", "out.flac"]
+
+    with pytest.raises(SystemExit):
+        cli._ensure_live_backend(Args())
+    assert calls["argv"][1:3] == ["-m", "flacenc_tpu.cli"]
+    assert calls["argv"][3:] == [
+        "encode", "in.wav", "-o", "out.flac", "--cpu-only",
+    ]
+    assert calls["env"]["JAX_PLATFORMS"] == "cpu"
+    assert "axon" not in calls["env"]["PYTHONPATH"]
+    assert "/some/other/path" in calls["env"]["PYTHONPATH"]
+
+
+def test_probe_skips_on_cpu_default_and_optout(monkeypatch):
+    """No probe (and no re-exec) when the default platform is already
+    cpu, or when the caller opts out via FLACENC_CLI_NO_PROBE=1."""
+    import flacenc_tpu.cli as cli
+
+    probed = []
+    monkeypatch.setattr(
+        "flacenc_tpu.utils.probe.probe_device",
+        lambda *a, **k: probed.append(1) or True,
+    )
+
+    class Args:
+        cpu_only = False
+        _argv = []
+
+    monkeypatch.setattr(cli, "_default_platform_is_cpu", lambda: True)
+    cli._ensure_live_backend(Args())
+    assert not probed
+    monkeypatch.setattr(cli, "_default_platform_is_cpu", lambda: False)
+    monkeypatch.setenv("FLACENC_CLI_NO_PROBE", "1")
+    cli._ensure_live_backend(Args())
+    assert not probed
