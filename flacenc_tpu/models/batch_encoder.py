@@ -884,6 +884,12 @@ _GROUP_FETCH_MIN_S = 0.015
 # mirroring _WARMED_WIRES: a new pipeline must not re-pay the compile
 # fallback for a grouped program an earlier encode already warmed
 _WARMED_GROUPS: set = set()
+# last measured fetch-wall EWMA in this process (None until a fetch
+# completes anywhere): seeds new pipelines' auto-group gate so short
+# streams on slow links group from their first batches (a single
+# stream's submission often outruns its own first fetch). GIL-atomic
+# float store; staleness self-corrects via the grouped-path feedback.
+_LAST_FETCH_EWMA: Optional[float] = None
 # outstanding background group-warm futures: a bench/caller can block on
 # these after a warm-up encode so timed runs group from their first
 # batches instead of racing the compile (see wait_group_warms)
@@ -1378,7 +1384,18 @@ class BatchPipeline:
         # 0 for the measured-latency auto escalation
         self.fetch_group = int(os.environ.get("FLACENC_FETCH_GROUP", "0")
                                or 0)
-        self._fetch_ewma: Optional[float] = None  # fetch-only wall EWMA
+        # fetch-only wall EWMA, SEEDED from the last pipeline in this
+        # process: a fresh pipeline on a slow link used to need several
+        # completed fetches before auto-grouping engaged, but on slow
+        # links submission often outruns the first fetch entirely — a
+        # short stream (one bench trial, one corpus file) could finish
+        # submitting all batches per-batch before the EWMA was ever
+        # set. Carrying the measurement across streams (like the
+        # _WARMED_GROUPS registry carries the compiles) lets stream
+        # N+1 group from its first batches; the grouped-path feedback
+        # (see _roundtrip_group) still de-escalates when the link
+        # recovers.
+        self._fetch_ewma: Optional[float] = _LAST_FETCH_EWMA
         self._group_open: list = []  # [(payload, wire, chunk, nums, rate)]
         self._group_ref: Optional[dict] = None
         self.grouped_batches = 0      # stats: batches through group tasks
@@ -1586,6 +1603,8 @@ class BatchPipeline:
         # threads may race this float — harmless, it gates a heuristic
         prev = self._fetch_ewma
         self._fetch_ewma = dt if prev is None else 0.7 * prev + 0.3 * dt
+        global _LAST_FETCH_EWMA
+        _LAST_FETCH_EWMA = self._fetch_ewma
         t0 = _time.perf_counter()
         frames = self.assemble(
             dec, chunk, nums, self.cfg, self.nch, self.bps,
@@ -1712,6 +1731,8 @@ class BatchPipeline:
             dt = (_time.perf_counter() - t_f) / len(entries)
             prev = self._fetch_ewma
             self._fetch_ewma = dt if prev is None else 0.7 * prev + 0.3 * dt
+            global _LAST_FETCH_EWMA
+            _LAST_FETCH_EWMA = self._fetch_ewma
             self._mark("gfetch_done", id(entries), len(entries))
             parts = list(rows_all)
         else:

@@ -35,3 +35,22 @@ except Exception:
     pass
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_cross_stream_ewma_seed():
+    """Keep tests hermetic w.r.t. the process-wide fetch-EWMA seed
+    (batch_encoder._LAST_FETCH_EWMA): production pipelines inherit the
+    last stream's link measurement so short streams group immediately
+    on slow links, but a test must not see grouping decisions driven by
+    whichever test happened to run before it."""
+    try:
+        from flacenc_tpu.models import batch_encoder as _be
+
+        _be._LAST_FETCH_EWMA = None
+    except Exception:
+        pass
+    yield

@@ -1037,8 +1037,12 @@ def test_auto_group_ewma_deescalates(monkeypatch):
         # sane dt (<< 10 s for five 512-sample blocks) lands well under 8
         assert p._fetch_ewma is not None and p._fetch_ewma < 8.0
         # (b) recovered link (EWMA under the engage threshold):
-        # subsequent batches must take the per-batch path again
-        p._fetch_ewma = be._GROUP_FETCH_MIN_S / 2
+        # subsequent batches must take the per-batch path again. Raise
+        # the threshold so the per-batch fetches' own EWMA updates
+        # (real wall times on a possibly-loaded CI box) cannot
+        # re-escalate mid-phase and flake the count.
+        monkeypatch.setattr(be, "_GROUP_FETCH_MIN_S", 1e9)
+        p._fetch_ewma = 1.0  # any value <= the raised threshold
         for i in range(5, 9):
             r = p.submit([blocks[i]], np.asarray([i]), rate=44100)
             if r:
