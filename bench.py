@@ -123,6 +123,37 @@ def _probe_device(timeout_s: float = 75.0) -> bool:
         f"# {m}", file=sys.stderr, flush=True))
 
 
+def _forward_result_line(line, best):
+    """Supervisor forwarding policy for ONE worker stdout line.
+
+    Updates `best` ({"value", "line", "final"}) in place and returns
+    (line_to_print_or_None, saw_final). Invariants the driver relies on:
+    - the LAST printed line is always the best window sampled so far,
+      even if the supervisor is killed before its exit re-emission —
+      an improving line prints itself; a WORSE final line re-prints the
+      stored best instead of itself;
+    - ties prefer the enriched final (non-degraded) form of the line;
+    - non-result lines, unparseable JSON, and value<=0 print nothing.
+    """
+    if not (line.startswith("{") and '"metric"' in line):
+        return None, False
+    try:
+        obj = json.loads(line)
+    except ValueError:
+        return None, False
+    val = obj.get("value", 0) or 0
+    if val <= 0:
+        return None, False
+    final = not obj.get("extra", {}).get("degraded")
+    if val > best["value"] or (val >= best["value"] and final):
+        best.update(value=val, line=line, final=final)
+    if val >= best["value"]:
+        return line, final
+    if final and best["line"]:
+        return best["line"], final
+    return None, final
+
+
 def _supervise() -> int:
     """Run the measurement in worker SUBPROCESSES, forwarding result
     lines LIVE, and fall back to a CPU-backend measurement if no TPU
@@ -155,34 +186,9 @@ def _supervise() -> int:
 
         def pump():
             for line in proc.stdout:
-                line = line.strip()
-                if not (line.startswith("{") and '"metric"' in line):
-                    continue
-                try:
-                    obj = json.loads(line)
-                except ValueError:
-                    continue
-                val = obj.get("value", 0) or 0
-                if val <= 0:
-                    continue
-                final = not obj.get("extra", {}).get("degraded")
-                if val > best["value"] or (val >= best["value"] and final):
-                    # remember the best line (ties prefer the enriched
-                    # final form); it is re-emitted LAST at supervisor
-                    # exit so the driver-recorded line is always the
-                    # best window sampled, even if a later attempt
-                    # finished in a slower window
-                    best.update(value=val, line=line, final=final)
-                if val >= best["value"]:
-                    print(line, flush=True)
-                elif final and best["line"]:
-                    # a later attempt finished in a SLOWER window: keep
-                    # the invariant "last printed line == best sampled"
-                    # at every instant by re-emitting the stored best
-                    # instead of the worse line — a driver that kills
-                    # the supervisor mid-run and records the last line
-                    # must never see a regression below the best window
-                    print(best["line"], flush=True)
+                out, final = _forward_result_line(line.strip(), best)
+                if out is not None:
+                    print(out, flush=True)
                 if final:
                     saw_final[0] = True
 

@@ -42,3 +42,55 @@ def test_make_audio_deterministic_int16_range():
     assert a.dtype == __import__("numpy").int32
     assert a.min() >= -32768 and a.max() <= 32767
     assert len(a) == 2 * 4410
+
+
+def _line(val, degraded=False, tag=""):
+    extra = {"degraded": True} if degraded else {}
+    if tag:
+        extra["tag"] = tag
+    return json.dumps({"metric": bench.METRIC, "value": val,
+                       "unit": "x_realtime", "extra": extra})
+
+
+def test_forward_result_line_last_printed_is_best():
+    """The driver records the LAST stdout line: at every instant the
+    last printed line must be the best window sampled, even when a later
+    attempt finishes in a slower window (r5 supervisor fix)."""
+    best = {"value": -1.0, "line": None, "final": False}
+    printed = []
+
+    def feed(line):
+        out, final = bench._forward_result_line(line, best)
+        if out is not None:
+            printed.append(out)
+        return final
+
+    # noise and bad lines print nothing
+    assert feed("# comment") is False
+    assert feed('{"metric": broken') is False
+    assert feed(_line(0)) is False
+    # improving degraded trials print themselves
+    feed(_line(100, degraded=True))
+    feed(_line(250, degraded=True))
+    assert json.loads(printed[-1])["value"] == 250
+    # the attempt's enriched final at the same value replaces the stored
+    # best (tie prefers final) and prints
+    assert feed(_line(250, tag="enriched")) is True
+    assert best["final"] and json.loads(best["line"])["extra"]["tag"] == "enriched"
+    # a LATER attempt finishing in a slower window re-prints the stored
+    # best, not its own worse line
+    assert feed(_line(180, tag="slow-final")) is True
+    assert json.loads(printed[-1])["value"] == 250
+    assert json.loads(printed[-1])["extra"]["tag"] == "enriched"
+    # and a worse DEGRADED line prints nothing at all
+    feed(_line(40, degraded=True))
+    assert json.loads(printed[-1])["value"] == 250
+    # a later better final takes over
+    assert feed(_line(400, tag="fast-final")) is True
+    assert json.loads(printed[-1])["value"] == 400
+    # invariant held at every step
+    assert all(
+        json.loads(p)["value"] == max(json.loads(q)["value"]
+                                      for q in printed[:i + 1])
+        for i, p in enumerate(printed)
+    )
