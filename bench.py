@@ -128,12 +128,14 @@ def _forward_result_line(line, best):
 
     Updates `best` ({"value", "line", "final"}) in place and returns
     (line_to_print_or_None, saw_final). Invariants the driver relies on:
-    - the LAST printed line is always the best window sampled so far,
-      even if the supervisor is killed before its exit re-emission —
-      an improving line prints itself; a WORSE final line re-prints the
-      stored best instead of itself;
-    - ties prefer the enriched final (non-degraded) form of the line;
-    - non-result lines, unparseable JSON, and value<=0 print nothing.
+    - the LAST printed line is always the STORED BEST line — the best
+      window sampled so far, ties preferring its enriched final
+      (non-degraded) form — even if the supervisor is killed before its
+      exit re-emission: whatever triggers a print (an improving line, a
+      degraded tie, a worse final), the stored best is what gets
+      printed;
+    - non-result lines, unparseable JSON, value<=0, and worse degraded
+      lines print nothing.
     """
     if not (line.startswith("{") and '"metric"' in line):
         return None, False
@@ -147,9 +149,7 @@ def _forward_result_line(line, best):
     final = not obj.get("extra", {}).get("degraded")
     if val > best["value"] or (val >= best["value"] and final):
         best.update(value=val, line=line, final=final)
-    if val >= best["value"]:
-        return line, final
-    if final and best["line"]:
+    if val >= best["value"] or final:
         return best["line"], final
     return None, final
 
@@ -293,11 +293,7 @@ def _timed_trials(audio, rate, bps, block, batch, packer, trials,
             # grouped-program compiles the previous trial kicked (e.g.
             # for the wire the racer settled on) finish during the gap,
             # so the next trial groups from its first batches
-            try:
-                be.wait_wire_warms(timeout=120)
-                be.wait_group_warms(timeout=120)
-            except Exception:
-                pass  # a failed warm must not kill the bench
+            be.wait_all_warms(timeout=240)  # never raises
         src = MemSource(audio, 2, bps, rate)
         trial_stats = {}
         t0 = time.perf_counter()
@@ -400,12 +396,9 @@ def main_worker() -> None:
     )
     # block on the grouped-program background compiles the warm encode
     # started; otherwise short trials race the compile and never group
-    try:
-        be.wait_wire_warms(timeout=300)  # packed-wire variant programs
-        be.wait_group_warms(timeout=300)
-    except Exception:
-        pass  # a failed warm must not kill the bench (trials fall back
-        #       to raw / per-batch roundtrips; still a valid number)
+    # never raises: a failed warm means trials fall back to raw /
+    # per-batch roundtrips — still a valid number
+    be.wait_all_warms(timeout=600)
 
     audio = make_audio(seconds, rate)
     extra_base = {"seconds_encoded": seconds, "batch": batch,

@@ -165,6 +165,16 @@ def _ensure_live_backend(args) -> None:
         "falling back to the CPU backend (--cpu-only; byte-identical "
         "output, lower throughput)"
     )
+    if not getattr(args, "_process_entry", True):
+        # programmatic caller (cli.main([...]) from a wrapper): execve
+        # would replace ITS process. The wedged probe thread may hold
+        # backend-init state, so an in-process platform flip is not
+        # reliable either — surface the condition instead and let the
+        # caller rerun with --cpu-only (or JAX_PLATFORMS=cpu).
+        raise RuntimeError(
+            "device backend unresponsive (probe timed out after "
+            f"{timeout_s:.0f} s); rerun with --cpu-only"
+        )
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     # strip platform-hijacking plugins (the tunnel sitecustomize re-pins
@@ -361,12 +371,17 @@ def main_dec(args) -> int:
 
 
 def main(argv=None) -> int:
+    # a programmatic caller (main([...]) from a wrapper/test) must NOT
+    # have its whole process replaced by the probe-failure re-exec; only
+    # a real CLI invocation (argv is None -> sys.argv) may execve
+    is_process_entry = argv is None
     argv = list(sys.argv[1:] if argv is None else argv)
     # default subcommand is `encode` (main.rs:404-418)
     if argv and argv[0] not in ("encode", "encode-corpus", "decode", "-h", "--help"):
         argv.insert(0, "encode")
     args = _build_parser().parse_args(argv)
     args._argv = argv  # original argv for the probe-failure re-exec
+    args._process_entry = is_process_entry
     display.banner()
     if args.command is None:
         _build_parser().print_help()

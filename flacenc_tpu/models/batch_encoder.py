@@ -896,15 +896,33 @@ _LAST_FETCH_EWMA: Optional[float] = None
 _GROUP_WARM_FUTURES: list = []
 
 
+def _drain_warm_futures(pending, timeout: Optional[float]) -> None:
+    """Wait on each warm future under ONE shared deadline, continuing
+    past failures: a failed/slow background compile means the pipeline
+    falls back (per-batch path / raw wire) — a valid, measurable state —
+    so one bad warm must not abandon the remaining waits or propagate
+    into the caller and skip its OTHER warm barrier (review r5)."""
+    import time as _time
+
+    deadline = None if timeout is None else _time.monotonic() + timeout
+    for fut in pending:
+        try:
+            left = (None if deadline is None
+                    else max(0.0, deadline - _time.monotonic()))
+            fut.result(timeout=left)
+        except Exception:  # noqa: BLE001 - compile error or timeout
+            continue
+
+
 def wait_group_warms(timeout: Optional[float] = None) -> None:
     """Block until every outstanding grouped-program background compile
-    has finished (no-op when none are pending). A warm-up encode only
-    STARTS these compiles; short timed encodes right after it would
-    otherwise run per-batch while the compile races them."""
+    has settled (no-op when none are pending; failures/timeouts are
+    swallowed — see _drain_warm_futures). A warm-up encode only STARTS
+    these compiles; short timed encodes right after it would otherwise
+    run per-batch while the compile races them."""
     global _GROUP_WARM_FUTURES
     pending, _GROUP_WARM_FUTURES = _GROUP_WARM_FUTURES, []
-    for fut in pending:
-        fut.result(timeout=timeout)
+    _drain_warm_futures(pending, timeout)
 
 
 # outstanding background per-wire compile futures (same contract as
@@ -917,12 +935,27 @@ _WIRE_WARM_FUTURES: list = []
 
 def wait_wire_warms(timeout: Optional[float] = None) -> None:
     """Block until every outstanding wire-variant background compile has
-    finished (no-op when none are pending). Companion to
+    settled (no-op when none are pending; failures/timeouts are
+    swallowed — see _drain_warm_futures). Companion to
     `wait_group_warms`; see _WIRE_WARM_FUTURES."""
     global _WIRE_WARM_FUTURES
     pending, _WIRE_WARM_FUTURES = _WIRE_WARM_FUTURES, []
-    for fut in pending:
-        fut.result(timeout=timeout)
+    _drain_warm_futures(pending, timeout)
+
+
+def wait_all_warms(timeout: Optional[float] = None) -> None:
+    """One warm barrier for measurement harnesses: settle the wire-
+    variant compiles AND the grouped-program compiles under a shared
+    deadline (each half gets whatever remains). Never raises — a failed
+    warm degrades the measurement (fallback wire / per-batch path), it
+    must not kill the harness."""
+    import time as _time
+
+    t0 = _time.monotonic()
+    wait_wire_warms(timeout)
+    left = None if timeout is None else max(
+        0.0, timeout - (_time.monotonic() - t0))
+    wait_group_warms(left)
 
 
 class LinkEstimator:
@@ -2012,6 +2045,24 @@ class BatchPipeline:
             self._compile_pool.shutdown(wait=False)
 
 
+def _mesh_device_count(mesh, batch_size: int) -> int:
+    """Devices the batch axis WOULD shard over at this batch size
+    (0 = no sharding): explicit `Mesh` -> its device count; "auto" ->
+    the local device count when `_auto_mesh` would engage it. Used by
+    the short-stream batch clamp so it never shrinks the batch to a
+    size the sharding can't split."""
+    if mesh is None:
+        return 0
+    if mesh == "auto":
+        import jax
+
+        if jax.process_count() > 1:
+            return 0
+        n = len(jax.local_devices())
+        return n if n > 1 and batch_size % n == 0 else 0
+    return int(mesh.devices.size)
+
+
 def _auto_mesh(mesh, batch_size: int):
     """Resolve the `mesh` argument: "auto" shards the batch axis across all
     local devices when there is more than one and the batch divides evenly
@@ -2123,10 +2174,15 @@ def encode_with_fixed_block_size(
             # ladder, not one program per odd file length). Never RAISE
             # the caller's explicit batch_size: a small/odd request
             # (e.g. one sized to divide a device mesh) must survive.
-            batch_size = min(
-                batch_size,
-                max(8, 1 << (int(full_blocks) - 1).bit_length()),
-            )
+            cand = max(8, 1 << (int(full_blocks) - 1).bit_length())
+            n_dev = _mesh_device_count(mesh, batch_size)
+            if n_dev:
+                # a sharded batch axis must stay a (positive) multiple
+                # of the mesh's device count: an unrounded clamp would
+                # crash device_put on an explicit mesh and silently
+                # de-shard mesh="auto" for short clips
+                cand = -(-max(cand, n_dev) // n_dev) * n_dev
+            batch_size = min(batch_size, cand)
     pipe = BatchPipeline(
         cfg, nch, bps, block_size, batch_size, packer, strict_lpc, mesh,
         upload_pack,

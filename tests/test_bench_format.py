@@ -94,3 +94,16 @@ def test_forward_result_line_last_printed_is_best():
                                       for q in printed[:i + 1])
         for i, p in enumerate(printed)
     )
+
+
+def test_forward_result_line_degraded_tie_prints_enriched_best():
+    """A degraded line that TIES the stored enriched final must print
+    the enriched final, not itself (r5 review): the driver records the
+    last line, and a mid-run kill must never leave the degraded form."""
+    best = {"value": -1.0, "line": None, "final": False}
+    out1, _ = bench._forward_result_line(_line(250, tag="enriched"), best)
+    assert json.loads(out1)["extra"]["tag"] == "enriched"
+    out2, final = bench._forward_result_line(_line(250, degraded=True), best)
+    assert final is False
+    assert json.loads(out2)["extra"]["tag"] == "enriched"  # stored best
+    assert best["final"] is True

@@ -396,3 +396,29 @@ def test_probe_skips_on_cpu_default_and_optout(monkeypatch):
     monkeypatch.setenv("FLACENC_CLI_NO_PROBE", "1")
     cli._ensure_live_backend(Args())
     assert not probed
+
+
+def test_probe_failure_programmatic_raises_instead_of_exec(monkeypatch):
+    """cli.main([...]) from a wrapper must never have its process
+    replaced: with _process_entry=False a failed probe raises instead
+    of calling os.execve (r5 review)."""
+    import flacenc_tpu.cli as cli
+
+    monkeypatch.setattr(cli, "_default_platform_is_cpu", lambda: False)
+    monkeypatch.setattr(
+        "flacenc_tpu.utils.probe.probe_device",
+        lambda timeout_s, on_error=None: False,
+    )
+    execs = []
+    monkeypatch.setattr("os.execve", lambda *a: execs.append(a))
+    monkeypatch.delenv("FLACENC_CLI_NO_PROBE", raising=False)
+    monkeypatch.setenv("FLACENC_CLI_PROBE_TIMEOUT_S", "1")
+
+    class Args:
+        cpu_only = False
+        _argv = ["encode", "in.wav"]
+        _process_entry = False
+
+    with pytest.raises(RuntimeError, match="cpu-only"):
+        cli._ensure_live_backend(Args())
+    assert not execs

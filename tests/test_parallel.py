@@ -171,6 +171,33 @@ def test_stream_encoder_mesh_sharded_byte_identical():
     assert np.array_equal(decode_stream(parse_stream(d_mesh)), x)
 
 
+def test_short_stream_clamp_respects_mesh_device_count():
+    """The short-stream batch-size clamp must keep the batch a multiple
+    of the mesh's device count (r5 review): a 3-full-block stream on a
+    6-device explicit mesh used to clamp batch 64 -> 8, and device_put
+    of an 8-row batch onto a 6-shard NamedSharding raises. Bytes must
+    match the unsharded encode either way."""
+    import jax
+
+    from flacenc_tpu.models import batch_encoder as be
+    from flacenc_tpu.parallel import block_mesh
+
+    if len(jax.devices()) < 6:
+        pytest.skip("needs >= 6 devices")
+    n = 512 * 3 + 100  # 3 full blocks + ragged tail
+    x, src1 = _mem_source(21, n)
+    _, src2 = _mem_source(21, n)
+    cfg = config.Encoder().into_verified()
+    d_mesh = be.encode_with_fixed_block_size(
+        cfg, src1, 512, batch_size=64, mesh=block_mesh(jax.devices()[:6])
+    ).to_bytes()
+    d_one = be.encode_with_fixed_block_size(
+        cfg, src2, 512, batch_size=64, mesh=None
+    ).to_bytes()
+    assert d_mesh == d_one
+    assert np.array_equal(decode_stream(parse_stream(d_mesh)), x)
+
+
 def test_determine_worker_count_precedence(monkeypatch):
     """config.workers -> env FLACENC_WORKERS -> FLACENC_PACK_THREADS ->
     auto, with multithread=False forcing 1 (par.rs:328-339 precedence)."""

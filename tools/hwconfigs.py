@@ -78,19 +78,11 @@ def timed_encode(cfg, audio, ch, bps, rate, block, batch, trials=3):
     # now-warm wires — otherwise a 120 s-audio row (~26 batches) ends
     # before the racer can flip off raw and the matrix mis-attributes
     # the wire choice (r5: the hi-res row shipped raw int32 this way)
-    for wait in (be.wait_wire_warms, be.wait_group_warms):
-        try:
-            wait(timeout=180)
-        except Exception:
-            pass  # a failed warm must not kill the matrix row
+    be.wait_all_warms(timeout=360)  # never raises
     be.encode_with_fixed_block_size(
         cfg, MemSource(audio, ch, bps, rate), block, batch_size=batch
     )
-    try:
-        be.wait_wire_warms(timeout=180)
-        be.wait_group_warms(timeout=180)
-    except Exception:
-        pass
+    be.wait_all_warms(timeout=360)
 
     best, data = None, b""
     stats = {}
@@ -273,11 +265,7 @@ def main() -> int:
         warm = [(f"w{i}", MemSource(base[: 44100 * 4], 2, 16, 44100))
                 for i in range(2)]
         encode_corpus(warm, cfg, 4096, batch_size=256)
-        for wait in (be.wait_wire_warms, be.wait_group_warms):
-            try:
-                wait(timeout=180)
-            except Exception:
-                pass
+        be.wait_all_warms(timeout=360)
         dt, streams, stats = None, {}, None
         for i in range(3):
             if i:

@@ -139,11 +139,7 @@ def main() -> int:
     be.encode_with_fixed_block_size(
         cfg, MemSource(warm, 2, bps, rate), block, batch_size=args.batch,
     )
-    try:
-        be.wait_wire_warms(timeout=300)
-        be.wait_group_warms(timeout=300)
-    except Exception:
-        pass
+    be.wait_all_warms(timeout=600)
 
     audio = make_audio(args.seconds, rate)
     n_samples = len(audio) // 2
