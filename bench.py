@@ -362,9 +362,16 @@ def main_worker() -> None:
     from flacenc_tpu.source import MemSource
 
     rate, bps, block = 44100, 16, 4096
-    # warmup covers compiles AND >= 2 steady-state batches so the wire
-    # racer's link estimates are warm before the first timed trial
-    warm_seconds = float(os.environ.get("BENCH_WARM_SECONDS", "60"))
+    # warmup covers compiles AND the wire racer's full exploration. One
+    # batch is 256 blocks * 4096 / 44100 = ~23.8 s of audio, and the
+    # racer needs ~8-10 batches before it settles: a raw cold-start
+    # sample, a 2-batch probe of each unexplored kind ("d", "pack"),
+    # then _SWITCH_VOTES consecutive wins before adopting — only after
+    # that does the grouped-program warm for the winning wire kick. At
+    # 60 s (~2.5 batches) the first timed trial inherited a half-raced
+    # estimator and ran ungrouped on a flipping wire (observed 41.8x
+    # with grouped_batches=0 next to 222x steady-state siblings).
+    warm_seconds = float(os.environ.get("BENCH_WARM_SECONDS", "240"))
     # 600 s = ~25 batches at batch 256: steady state dominates the
     # pipeline fill/drain
     seconds = float(os.environ.get("BENCH_SECONDS", "600"))

@@ -153,6 +153,14 @@ def main() -> int:
                     f"| `{r.get('wire', '')}` | {r.get('link_mbps', '')} |\n"
                 )
             f.write(
+                "\nRows are measured MINUTES APART on a tunneled link whose "
+                "bandwidth swings\n15-140 MB/s minute to minute (the `link "
+                "MB/s` column is each row's window);\ncross-row comparisons "
+                "must be bandwidth-normalized — divide `x realtime` by\n"
+                "`link MB/s` before concluding one config is slower than "
+                "another.\n"
+            )
+            f.write(
                 "\nReference context (different hardware, real-music corpus — "
                 "NOT directly\ncomparable on compression): flacenc-rs default "
                 "mt 1309.5x / st 331.5x /\nexperimental 212.3x on a GCE "
