@@ -83,6 +83,6 @@ class rice:
 class build_info:
     """Build metadata (analogue of constant.rs:70-84)."""
 
-    CRATE_VERSION = "0.5.2"
+    CRATE_VERSION = "0.5.3"
     BUILD_PROFILE = "release"
     FEATURES = "tpu,jax,native-packer"
